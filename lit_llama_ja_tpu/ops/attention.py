@@ -1,0 +1,75 @@
+"""Scaled dot-product attention (reference `lit_llama/model.py:230-237`).
+
+XLA implementations. On TPU, XLA fuses the softmax chain well for moderate sequence
+lengths; the Pallas flash-attention kernel in `ops/pallas/flash_attention.py` takes over
+for long-sequence prefill where O(T^2) materialization would blow HBM.
+
+Two entry points:
+  * `causal_attention`  — full-sequence training/prefill path (no cache).
+  * `decode_attention`  — query of T tokens against a fixed-size KV cache with an
+    explicit validity mask derived from positions (the KV-cache decode path).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _sdpa(q, k, v, mask, scale):
+    # q: (B, nh, Tq, hd), k/v: (B, nh, Tk, hd), mask: broadcastable to (B, nh, Tq, Tk)
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    att = jnp.where(mask, att.astype(jnp.float32), -jnp.inf)
+    att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, v)
+
+
+def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Causal self-attention over a full sequence.
+
+    Args:
+      q, k, v: ``(B, n_head, T, head_dim)``.
+    Returns:
+      ``(B, n_head, T, head_dim)``.
+    """
+    T = q.shape[2]
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    mask = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
+    return _sdpa(q, k, v, mask, scale)
+
+
+def decode_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    input_pos: jax.Array,
+) -> jax.Array:
+    """Attention of T query tokens at positions ``input_pos`` against a full KV cache.
+
+    The cache holds ``S`` slots; slot ``j`` is attendable by query ``i`` iff
+    ``j <= input_pos[i]`` (strictly causal over absolute positions, matching the
+    reference's mask gather at `lit_llama/model.py:103-104`).
+
+    Args:
+      q: ``(B, n_head, T, head_dim)`` — the new tokens' queries.
+      k, v: ``(B, n_head, S, head_dim)`` — the updated cache.
+      input_pos: ``(T,)`` int32 absolute positions of the query tokens.
+    """
+    S = k.shape[2]
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    slot = jnp.arange(S, dtype=input_pos.dtype)
+    mask = slot[None, :] <= input_pos[:, None]  # (T, S)
+    return _sdpa(q, k, v, mask[None, None], scale)
+
+
+def prefix_attention(q: jax.Array, ak: jax.Array, av: jax.Array) -> jax.Array:
+    """Unmasked cross-attention against an adapter prefix (reference
+    `lit_llama/adapter.py:160-164`): every query sees every prefix slot.
+
+    Args:
+      q: ``(B, n_head, T, head_dim)``; ak/av: ``(B, n_head, aT, head_dim)``.
+    """
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    mask = jnp.ones((1, 1, 1, ak.shape[2]), dtype=bool)
+    return _sdpa(q, ak, av, mask, scale)

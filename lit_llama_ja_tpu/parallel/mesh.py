@@ -1,0 +1,49 @@
+"""Device mesh construction — the runtime layer replacing Lightning Fabric's
+launcher/strategies (reference `pretrain/redpajama.py:112-131`, SURVEY.md §2.3).
+
+Axes:
+  * ``dp``   — pure data parallel (batch replication), rides DCN across slices.
+  * ``fsdp`` — parameter/optimizer sharding (the ZeRO-1/2/3 + FSDP equivalents all
+               collapse into this one sharding axis on TPU).
+  * ``tp``   — tensor parallel over attention heads / MLP hidden, rides ICI.
+
+For multi-host: call `jax.distributed.initialize()` before `make_mesh`; the mesh is
+built over the global device list, so the same program runs 1-chip to multi-pod.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+AXES = ("dp", "fsdp", "tp")
+
+
+def make_mesh(
+    dp: int = 1,
+    fsdp: int = -1,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('dp', 'fsdp', 'tp') mesh; one axis may be -1 (inferred)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    dims = [dp, fsdp, tp]
+    if -1 in dims:
+        known = int(np.prod([d for d in dims if d != -1]))
+        assert n % known == 0, f"{n} devices not divisible by {known}"
+        dims[dims.index(-1)] = n // known
+    assert int(np.prod(dims)) == n, f"mesh {dims} != {n} devices"
+    dev_array = np.asarray(devices).reshape(dims)
+    return Mesh(dev_array, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+
+
+def named(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec(*spec))

@@ -1,0 +1,187 @@
+"""Quantized linear parameterization + XLA matmul path.
+
+TPU-native replacement for the reference's quantized linears:
+  * `Linear8bitLt` (bitsandbytes, `lit_llama/quantization.py:36-75`) → symmetric
+    per-output-channel INT8 absmax weights (`quantize_int8_absmax`).
+  * `ColBlockQuantizedLinear` (`lit_llama/quantization.py:338-421`) → asymmetric
+    4/8-bit packed weights with per-(col-tile, out-channel) scale/zero.
+
+Layout is transposed from torch to the JAX (in, out) = (K, N) convention:
+  * INT8: ``qweight`` int8/uint8 ``(K, N)``.
+  * INT4: ``qweight`` uint8 ``(K // 2, N)`` — byte ``r`` packs K-rows ``2r`` (low
+    nibble) and ``2r+1`` (high nibble), the same adjacent-pair packing as the
+    reference's ``weight[:, nr::entries_per_byte] << (nr * bits)``
+    (`lit_llama/quantization.py:385-388`), transposed.
+  * ``scales`` / ``zeros``: ``(n_tiles, N)`` float, tiling K by ``tile_cols``
+    (``n_tiles == 1`` when groupsize == -1). Dequant: ``w = (q - zero) * scale``.
+  * Symmetric INT8 absmax is the special case ``zero == 0``, int8 storage.
+
+The quantized tree contains ONLY arrays (bits are inferred from shapes), so it is a
+clean pytree for jit/pjit — no static metadata threading.
+
+`quant_matmul` is the XLA path (dequant + matmul, which XLA fuses); the Pallas fused
+kernel in `ops/pallas/quant_matmul.py` is dispatched on TPU for the hot decode path.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def infer_bits(qweight: jax.Array, in_features: int) -> int:
+    if qweight.shape[0] == in_features:
+        return 8
+    if qweight.shape[0] * 2 == in_features:
+        return 4
+    raise ValueError(
+        f"qweight rows {qweight.shape[0]} incompatible with in_features {in_features}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """Pack unsigned 4-bit levels ``(K, N)`` -> uint8 ``(K//2, N)``."""
+    q = q.astype(jnp.uint8)
+    lo = q[0::2]
+    hi = q[1::2]
+    return lo | (hi << 4)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """uint8 ``(K//2, N)`` -> unsigned levels ``(K, N)`` uint8."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    K2, N = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
+
+
+# ---------------------------------------------------------------------------
+# Quantize / dequantize
+# ---------------------------------------------------------------------------
+
+def quantize_int8_absmax(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel absmax INT8 (the LLM.int8 weight-only scheme,
+    minus the fp16 outlier decomposition — weight-only inference needs none).
+
+    w: ``(K, N)`` float -> {qweight int8 (K, N), scales (1, N), zeros (1, N)=0}.
+    """
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {
+        "qweight": q,
+        "scales": scale,
+        "zeros": jnp.zeros_like(scale),
+    }
+
+
+def find_qparams(w: jax.Array, bits: int, sym: bool = False):
+    """Per-output-channel (axis=-1 of (K, N)) scale/zero over the K axis.
+
+    Faithful to the reference's `find_params_weight` (`lit_llama/quantization.py:475-511`):
+    min clipped to <=0, max to >=0; all-zero channels get [-1, 1]; asymmetric zero
+    is ``round(-xmin / scale)``.
+    Returns (scale, zero) of shape ``(1, N)``.
+    """
+    maxq = 2**bits - 1
+    xmin = jnp.minimum(w.min(axis=0), 0.0)
+    xmax = jnp.maximum(w.max(axis=0), 0.0)
+    if sym:
+        xmax = jnp.maximum(jnp.abs(xmin), xmax)
+        xmin = jnp.where(xmin < 0, -xmax, xmin)
+    degenerate = (xmin == 0) & (xmax == 0)
+    xmin = jnp.where(degenerate, -1.0, xmin)
+    xmax = jnp.where(degenerate, 1.0, xmax)
+    scale = (xmax - xmin) / maxq
+    if sym:
+        zero = jnp.full_like(scale, (maxq + 1) / 2)
+    else:
+        zero = jnp.round(-xmin / scale)
+    return scale[None, :].astype(jnp.float32), zero[None, :].astype(jnp.float32)
+
+
+def quantize_colblock(
+    w: jax.Array, bits: int, tile_cols: int = -1, sym: bool = False
+) -> Dict[str, jax.Array]:
+    """Round-to-nearest col-block quantization of ``(K, N)`` weights.
+
+    (GPTQ produces better levels; this is the direct RTN equivalent of the
+    reference's `ColBlockQuantizedLinear.pack_weight` + `find_params_weight`.)
+    """
+    K, N = w.shape
+    tile = K if tile_cols == -1 else tile_cols
+    n_tiles = (K + tile - 1) // tile
+    scales, zeros, qs = [], [], []
+    for t in range(n_tiles):
+        chunk = w[t * tile : (t + 1) * tile]
+        s, z = find_qparams(chunk, bits, sym)
+        q = jnp.clip(jnp.round(chunk / s + z), 0, 2**bits - 1)
+        scales.append(s)
+        zeros.append(z)
+        qs.append(q)
+    q = jnp.concatenate(qs, axis=0)
+    out = {
+        "scales": jnp.concatenate(scales, axis=0),
+        "zeros": jnp.concatenate(zeros, axis=0),
+    }
+    if bits == 4:
+        out["qweight"] = pack_int4(q)
+    else:
+        out["qweight"] = q.astype(jnp.uint8)
+    return out
+
+
+def pack_prequantized(
+    q_levels: jax.Array, scales: jax.Array, zeros: jax.Array, bits: int
+) -> Dict[str, jax.Array]:
+    """Pack already-chosen levels (e.g. from the GPTQ solver). q_levels: (K, N)."""
+    if bits == 4:
+        qweight = pack_int4(q_levels)
+    else:
+        qweight = q_levels.astype(jnp.uint8)
+    return {"qweight": qweight, "scales": scales, "zeros": zeros}
+
+
+def _expand_tiles(t: jax.Array, K: int) -> jax.Array:
+    """Expand (n_tiles, N) per-tile values to (K, N) by repeating each tile row."""
+    n_tiles = t.shape[0]
+    tile = -(-K // n_tiles)
+    reps = jnp.repeat(t, tile, axis=0)
+    return reps[:K]
+
+
+def dequantize_with_k(
+    params: Dict[str, jax.Array], in_features: int, dtype=jnp.float32
+) -> jax.Array:
+    """Reconstruct ``(K, N)`` float weights; ``in_features`` disambiguates packing."""
+    qweight, scales, zeros = params["qweight"], params["scales"], params["zeros"]
+    bits = infer_bits(qweight, in_features)
+    if bits == 4:
+        levels = unpack_int4(qweight).astype(jnp.float32)
+    else:
+        levels = qweight.astype(jnp.float32)
+    K = in_features
+    return (
+        (levels - _expand_tiles(zeros, K)) * _expand_tiles(scales, K)
+    ).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Matmul
+# ---------------------------------------------------------------------------
+
+def quant_matmul(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
+    """``x @ dequant(params)`` — XLA path (dequant fuses into the matmul prologue).
+
+    The Pallas fused kernel takes over on TPU for supported shapes; see
+    `ops/pallas/quant_matmul.py` (dispatched in `models/llama.apply_linear` via
+    this function once kernels land).
+    """
+    w = dequantize_with_k(params, x.shape[-1], dtype=x.dtype)
+    return x @ w

@@ -1,0 +1,110 @@
+"""Training step tests: loss math, LR schedule parity, optimization progress,
+PEFT partitioning, and the sharded step on the simulated mesh."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.models.llama import init_params
+from lit_llama_ja_tpu.parallel.mesh import make_mesh
+from lit_llama_ja_tpu.parallel.specs import shard_params
+from lit_llama_ja_tpu.train.loss import cross_entropy_loss
+from lit_llama_ja_tpu.train.lr import cosine_with_warmup
+from lit_llama_ja_tpu.train.step import (
+    init_opt_state,
+    jit_train_step,
+    make_adamw,
+    make_train_step,
+    partition_trainable,
+)
+
+CFG = LLaMAConfig(block_size=16, vocab_size=32, n_layer=1, n_head=2, n_embd=16)
+
+
+def ref_get_lr(it, learning_rate, warmup_iters, lr_decay_iters, min_lr):
+    """Reference LR formula (`pretrain/redpajama.py:382-393`) re-stated."""
+    if it < warmup_iters:
+        return learning_rate * it / warmup_iters
+    if it > lr_decay_iters:
+        return min_lr
+    decay_ratio = (it - warmup_iters) / (lr_decay_iters - warmup_iters)
+    coeff = 0.5 * (1.0 + math.cos(math.pi * decay_ratio))
+    return min_lr + coeff * (learning_rate - min_lr)
+
+
+def test_lr_schedule_matches_reference():
+    sched = cosine_with_warmup(6e-4, 100, 1000, 6e-5)
+    for it in [0, 1, 50, 100, 101, 500, 999, 1000, 1001, 5000]:
+        want = ref_get_lr(it, 6e-4, 100, 1000, 6e-5)
+        np.testing.assert_allclose(float(sched(it)), want, rtol=1e-6)
+
+
+def test_cross_entropy_ignore_index():
+    logits = jnp.zeros((1, 4, 8))
+    targets = jnp.array([[1, 2, -1, -1]])
+    loss = cross_entropy_loss(logits, targets)
+    np.testing.assert_allclose(float(loss), math.log(8), rtol=1e-6)
+
+
+def test_train_step_reduces_loss(rng):
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    opt = make_adamw(1e-2, weight_decay=0.0)
+    step = jax.jit(make_train_step(CFG, opt))
+    opt_state = init_opt_state(opt, params)
+    batch = jnp.asarray(
+        rng.integers(0, CFG.vocab_size, size=(2, 2, 9)), jnp.int32
+    )  # (accum, micro_bs, T+1)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_partition_trainable_updates_only_selected(rng):
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    pred = lambda path: "c_attn" in path
+    trainable, frozen = partition_trainable(params, pred)
+    assert trainable["blocks"]["attn"]["c_attn"]["weight"] is not None
+    assert trainable["blocks"]["mlp"]["c_fc1"]["weight"] is None
+    assert frozen["blocks"]["attn"]["c_attn"]["weight"] is None
+
+    opt = make_adamw(1e-2, weight_decay=0.0)
+    step = jax.jit(make_train_step(CFG, opt, trainable_pred=pred))
+    opt_state = init_opt_state(opt, params, trainable_pred=pred)
+    batch = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 2, 9)), jnp.int32)
+    before = jax.tree.map(np.asarray, params)
+    params2, _, _ = step(params, opt_state, batch)
+    # only c_attn changed
+    assert not np.allclose(
+        before["blocks"]["attn"]["c_attn"]["weight"],
+        params2["blocks"]["attn"]["c_attn"]["weight"],
+    )
+    np.testing.assert_array_equal(
+        before["blocks"]["mlp"]["c_fc1"]["weight"],
+        params2["blocks"]["mlp"]["c_fc1"]["weight"],
+    )
+    np.testing.assert_array_equal(
+        before["wte"]["weight"], params2["wte"]["weight"]
+    )
+
+
+def test_sharded_train_step_matches_unsharded(rng):
+    params = init_params(jax.random.PRNGKey(2), CFG)
+    opt = make_adamw(1e-3, weight_decay=0.0)
+    batch = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 4, 9)), jnp.int32)
+
+    step = make_train_step(CFG, opt)
+    opt_state = init_opt_state(opt, params)
+    _, _, loss_ref = jax.jit(step)(
+        jax.tree.map(jnp.copy, params), opt_state, batch
+    )
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    sharded = shard_params(params, mesh)
+    sstep = jit_train_step(step, mesh=mesh, params=params)
+    opt_state2 = init_opt_state(opt, sharded)
+    _, _, loss_sharded = sstep(sharded, opt_state2, batch)
+    np.testing.assert_allclose(float(loss_ref), float(loss_sharded), atol=1e-5)
