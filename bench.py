@@ -1,0 +1,121 @@
+"""Headline benchmark: LLaMA-7B GPTQ-int4 single-chip decode throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md), so ``vs_baseline`` is
+reported against the **memory-bandwidth roofline** for this chip: int4 decode is
+HBM-bound on weight streaming, so speed-of-light tokens/s ~= HBM_BW / bytes(weights
+touched per token). vs_baseline = measured / roofline (1.0 == speed of light).
+
+Weights are synthesized directly in packed int4 form (no fp32 7B intermediate, which
+would not fit HBM); the compute path is identical to a calibrated checkpoint.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
+
+# v5e (one chip): ~819 GB/s HBM bandwidth.
+HBM_GBPS = 819.0
+
+
+def synth_int4_params(config: LLaMAConfig, key, tile_cols: int = -1):
+    """Random packed-int4 model params (qweight/scales/zeros layout of quant/linear.py)."""
+    L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
+    ks = iter(jax.random.split(key, 16))
+
+    def qlin(k, kin, nout):
+        n_tiles = 1 if tile_cols == -1 else (kin + tile_cols - 1) // tile_cols
+        return {
+            "qweight": jax.random.randint(k, (kin // 2, nout), 0, 255, jnp.int32).astype(jnp.uint8),
+            "scales": jnp.full((n_tiles, nout), 0.01, jnp.float32),
+            "zeros": jnp.full((n_tiles, nout), 7.0, jnp.float32),
+        }
+
+    def qlin_stack(k, kin, nout):
+        lin = qlin(k, kin, nout)
+        return jax.tree.map(lambda a: jnp.broadcast_to(a[None], (L, *a.shape)), lin)
+
+    std = 0.02
+    return {
+        "wte": {"weight": (jax.random.normal(next(ks), (V, D), jnp.bfloat16) * std)},
+        "lm_head": qlin(next(ks), D, V),
+        "ln_f": {"scale": jnp.ones((D,), jnp.bfloat16)},
+        "blocks": {
+            "rms_1": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "attn": {
+                "c_attn": qlin_stack(next(ks), D, 3 * D),
+                "c_proj": qlin_stack(next(ks), D, D),
+            },
+            "rms_2": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "mlp": {
+                "c_fc1": qlin_stack(next(ks), D, H),
+                "c_fc2": qlin_stack(next(ks), D, H),
+                "c_proj": qlin_stack(next(ks), H, D),
+            },
+        },
+    }
+
+
+def weight_bytes_per_token(config: LLaMAConfig) -> float:
+    """Bytes of (packed int4) weights streamed from HBM per decoded token."""
+    L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
+    per_layer = (D * 3 * D + D * D + 2 * D * H + H * D) / 2  # int4 = 0.5 byte
+    return L * per_layer + (D * V) / 2 + V * D * 2  # + lm_head int4 + wte bf16 row gather (negligible)
+
+
+def main():
+    model = "7B"
+    batch = 1
+    seq = 2048
+    decode_steps = 32
+
+    config = LLaMAConfig.from_name(model)
+    params = synth_int4_params(config, jax.random.PRNGKey(0))
+    cache = init_kv_cache(config, batch, seq, jnp.bfloat16)
+
+    tok = jnp.zeros((batch, 1), jnp.int32)
+
+    def step(params, cache, tok, pos):
+        logits, cache = forward_with_cache(params, tok, pos, cache, config)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+        return cache, nxt
+
+    step = jax.jit(step, donate_argnums=(1,))
+
+    # warmup / compile. NOTE: sync via host transfer — on the axon remote platform
+    # `block_until_ready` returns before execution completes; np.asarray is the
+    # reliable barrier. Steps chain data (tok, cache), so the final transfer
+    # bounds the whole sequence.
+    pos = jnp.array([16], jnp.int32)
+    cache, tok = step(params, cache, tok, pos)
+    _ = np.asarray(tok)
+
+    t0 = time.perf_counter()
+    for i in range(decode_steps):
+        cache, tok = step(params, cache, tok, jnp.array([17 + i], jnp.int32))
+    _ = np.asarray(tok)
+    dt = time.perf_counter() - t0
+
+    toks_per_s = batch * decode_steps / dt
+    roofline = HBM_GBPS * 1e9 / weight_bytes_per_token(config)
+    print(
+        json.dumps(
+            {
+                "metric": f"llama-{model}-gptq.int4-decode-tokens/s/chip",
+                "value": round(toks_per_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(toks_per_s / roofline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

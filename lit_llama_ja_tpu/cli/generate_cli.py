@@ -1,0 +1,141 @@
+"""Base generation CLI (reference `generate.py:92-172`)."""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
+    """Load a model from a native orbax dir, a lit `.pth`, or a PEFT npz combo.
+
+    ``quantize`` in {None, "llm.int8", "gptq.int4", "gptq.int8"}: llm.int8 quantizes
+    weight-only at load (like the reference's load-time requantization,
+    `lit_llama/quantization.py:50-65`); gptq.* expects an already-calibrated
+    checkpoint (or quantizes RTN as fallback with a warning).
+    """
+    from lit_llama_ja_tpu.core.config import LLaMAConfig
+    from lit_llama_ja_tpu.io.checkpoint import load_checkpoint
+    from lit_llama_ja_tpu.io.convert import load_lit_checkpoint
+
+    path = Path(checkpoint_path)
+    if path.is_dir():
+        params, config = load_checkpoint(path)
+        if config is None:
+            raise ValueError(f"missing config.json in {path}")
+    else:
+        params, config = load_lit_checkpoint(path)
+        params = jax.tree.map(jnp.asarray, params)
+
+    if quantize == "llm.int8":
+        from lit_llama_ja_tpu.quant.pipeline import int8_quantize_model
+
+        already = "qweight" in params["blocks"]["attn"]["c_attn"]
+        if not already:
+            params = int8_quantize_model(params)
+    elif quantize in ("gptq.int4", "gptq.int8"):
+        already = "qweight" in params["blocks"]["attn"]["c_attn"]
+        if not already:
+            print(
+                "warning: checkpoint is not GPTQ-calibrated; applying RTN "
+                "round-to-nearest (run quantize/gptq.py for calibrated weights)",
+                file=sys.stderr,
+            )
+            from lit_llama_ja_tpu.quant.linear import quantize_colblock
+
+            bits = 4 if quantize.endswith("int4") else 8
+
+            def maybe_quant(leaf_path, leaf):
+                return leaf
+
+            # RTN-quantize the five block linears + lm_head
+            from lit_llama_ja_tpu.quant.pipeline import SUBMODULES, _get, _set, _to_mutable
+
+            params = _to_mutable(params)
+            for name in SUBMODULES:
+                leaf = _get(params["blocks"], name)
+                w = leaf["weight"]
+                L = w.shape[0]
+                qs = [quantize_colblock(w[l], bits=bits) for l in range(L)]
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+                _set(params["blocks"], name, dict(stacked))
+            params["lm_head"] = dict(
+                quantize_colblock(params["lm_head"]["weight"], bits=bits)
+            )
+    return params, config
+
+
+def main(
+    prompt: str = "Hello, my name is",
+    num_samples: int = 1,
+    max_new_tokens: int = 50,
+    top_k: int = 200,
+    temperature: float = 0.8,
+    checkpoint_path: str = "checkpoints/lit-llama/7B/lit-llama.pth",
+    tokenizer_path: str = "checkpoints/lit-llama/tokenizer.json",
+    quantize: Optional[str] = None,
+    seed: int = 1234,
+) -> None:
+    """Generates text samples based on a pre-trained LLaMA model and tokenizer.
+
+    Args:
+        prompt: The prompt string to use for generating the samples.
+        num_samples: The number of text samples to generate.
+        max_new_tokens: The number of generation steps to take.
+        top_k: The number of top most probable tokens to consider.
+        temperature: Sampling randomness scale.
+        checkpoint_path: Native checkpoint dir or lit-llama .pth file.
+        tokenizer_path: tokenizers-json (HF) or sentencepiece .model file.
+        quantize: None | "llm.int8" | "gptq.int4" | "gptq.int8".
+        seed: PRNG seed.
+    """
+    from lit_llama_ja_tpu.infer.generate import generate
+    from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
+
+    print("Loading model ...", file=sys.stderr)
+    t0 = time.time()
+    params, config = load_model_any(Path(checkpoint_path), quantize)
+    print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
+
+    tok_path = Path(tokenizer_path)
+    tokenizer = (
+        Tokenizer(tok_path) if tok_path.suffix == ".model" else HFTokenizer(tok_path)
+    )
+    encoded = tokenizer.encode(prompt, bos=True, eos=False)
+    prompt_length = len(encoded)
+
+    key = jax.random.PRNGKey(seed)
+    for i in range(num_samples):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        y = generate(
+            params,
+            config,
+            jnp.asarray(encoded),
+            max_new_tokens,
+            temperature=temperature,
+            top_k=top_k,
+            eos_id=tokenizer.eos_id,
+            key=sub,
+            cache_dtype=jnp.bfloat16,
+        )
+        jax.effects_barrier()
+        t = time.perf_counter() - t0
+        print(tokenizer.decode(y))
+        tokens_generated = len(y) - prompt_length
+        print(
+            f"Time for inference {i + 1}: {t:.02f} sec total, "
+            f"{tokens_generated / t:.02f} tokens/sec",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    from lit_llama_ja_tpu.utils.cli import CLI
+
+    CLI(main)

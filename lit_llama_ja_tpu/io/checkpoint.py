@@ -1,0 +1,118 @@
+"""Checkpoint save/load.
+
+Replaces the reference's torch-zip + lazy_load/incremental_save machinery
+(`lit_llama/utils.py:200-531`) with TPU-native storage:
+
+  * **Native format**: Orbax — sharded, mesh-aware restore (each host reads only its
+    shards), async-capable; the constant-host-memory property the reference builds by
+    hand with `NotYetLoadedTensor` / `SavingProxyForTensor` falls out of Orbax's
+    tensorstore backend.
+  * **PEFT states** (LoRA / adapter deltas — small): a plain flat ``.npz``, trivially
+    portable (reference analogue: the PEFT-only state dicts,
+    `lit_llama/lora.py:362-393`).
+
+Model identity is stored alongside (``config.json``) rather than inferred from tensor
+shapes; `infer_model_name` keeps the reference's shape-lookup trick
+(`lit_llama/utils.py:19-36`) for foreign checkpoints.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig, llama_model_lookup
+
+
+# ---------------------------------------------------------------------------
+# Native (orbax) checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path, params, config: Optional[LLaMAConfig] = None) -> None:
+    """Save a param tree (and optionally its config) to ``path`` (a directory)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "params", params, force=True)
+    if config is not None:
+        (path / "config.json").write_text(json.dumps(dataclasses.asdict(config)))
+
+
+def load_checkpoint(
+    path,
+    *,
+    template: Optional[Any] = None,
+    shardings: Optional[Any] = None,
+):
+    """Load a param tree saved by `save_checkpoint`.
+
+    Args:
+      template: a pytree of ShapeDtypeStruct/arrays giving the target structure;
+        without it the stored structure/dtypes are used.
+      shardings: optional matching pytree of NamedShardings — arrays are restored
+        *directly sharded onto the mesh* (no full-host materialization).
+    Returns (params, config-or-None).
+    """
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    target = template
+    if shardings is not None and template is not None:
+        target = jax.tree.map(
+            lambda t, s: jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=s),
+            template,
+            shardings,
+        )
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(path / "params", target)
+    config = None
+    cfg_file = path / "config.json"
+    if cfg_file.exists():
+        config = LLaMAConfig(**json.loads(cfg_file.read_text()))
+    return params, config
+
+
+# ---------------------------------------------------------------------------
+# Flat npz states (PEFT deltas, small trees)
+# ---------------------------------------------------------------------------
+
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(flatten_tree(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]):
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_state_npz(path, tree) -> None:
+    np.savez(path, **flatten_tree(tree))
+
+
+def load_state_npz(path):
+    with np.load(path) as data:
+        return unflatten_tree({k: data[k] for k in data.files})
+
+
+def infer_model_name(n_embd: int) -> str:
+    """Shape-based model lookup (reference `llama_model_lookup`)."""
+    return llama_model_lookup(n_embd)

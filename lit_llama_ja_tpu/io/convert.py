@@ -1,0 +1,263 @@
+"""Checkpoint converters: lit-llama `.pth` / Meta / HF -> native param trees.
+
+Covers the reference's converter surface:
+  * `scripts/convert_checkpoint.py` — Meta consolidated.*.pth shards: rename keys,
+    concatenate model-parallel shards along the documented dims, de-interleave QKV.
+  * `scripts/convert_hf_checkpoint.py` — HF LLaMA: un-permute q/k, reassemble the
+    fused qkv matrix.
+  * lit-llama `.pth` (the reference's own format) <-> native trees, both directions
+    (the reverse direction lets reference users keep their tooling).
+  * `scripts/convert_lora_weights.py` — merge LoRA into standalone weights: see
+    `models/lora.merge_lora`; `lora_checkpoint_to_native` converts the torch LoRA
+    state layout into this framework's grouped layout.
+
+torch is used host-side only (CPU tensors -> numpy); `torch.load(mmap=True)` gives
+the constant-memory streaming read that the reference builds with `lazy_load`.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig, llama_model_lookup
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor -> numpy (host)."""
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().to(torch.float32).cpu().numpy()
+    return np.asarray(t)
+
+
+# ---------------------------------------------------------------------------
+# lit-llama .pth <-> native
+# ---------------------------------------------------------------------------
+
+def lit_state_dict_to_native(sd: Dict, config: Optional[LLaMAConfig] = None):
+    """Flat lit-llama torch state dict -> this framework's stacked param tree.
+
+    Torch Linears store (out, in); ours store (in, out) -> transpose every weight.
+    Per-layer `transformer.h.{i}.*` tensors stack on a leading layer axis.
+    """
+    if config is None:
+        n_embd = _np(sd["transformer.wte.weight"]).shape[1]
+        config = LLaMAConfig.from_name(llama_model_lookup(n_embd))
+    L = config.n_layer
+
+    def pad_vocab(w: np.ndarray) -> np.ndarray:
+        # zero-pad rows up to padded_vocab_size (HF checkpoints ship unpadded)
+        V = config.padded_vocab_size
+        if w.shape[0] < V:
+            w = np.concatenate(
+                [w, np.zeros((V - w.shape[0], w.shape[1]), w.dtype)]
+            )
+        return w
+
+    def layer(i, key):
+        return _np(sd[f"transformer.h.{i}.{key}"])
+
+    def stack_w(key):  # transposed linear weights
+        return np.stack([layer(i, key).T for i in range(L)])
+
+    def stack_v(key):  # 1-D scales
+        return np.stack([layer(i, key) for i in range(L)])
+
+    return {
+        "wte": {"weight": pad_vocab(_np(sd["transformer.wte.weight"]))},
+        "lm_head": {"weight": pad_vocab(_np(sd["lm_head.weight"])).T},
+        "ln_f": {"scale": _np(sd["transformer.ln_f.scale"])},
+        "blocks": {
+            "rms_1": {"scale": stack_v("rms_1.scale")},
+            "attn": {
+                "c_attn": {"weight": stack_w("attn.c_attn.weight")},
+                "c_proj": {"weight": stack_w("attn.c_proj.weight")},
+            },
+            "rms_2": {"scale": stack_v("rms_2.scale")},
+            "mlp": {
+                "c_fc1": {"weight": stack_w("mlp.c_fc1.weight")},
+                "c_fc2": {"weight": stack_w("mlp.c_fc2.weight")},
+                "c_proj": {"weight": stack_w("mlp.c_proj.weight")},
+            },
+        },
+    }, config
+
+
+def native_to_lit_state_dict(params) -> Dict[str, np.ndarray]:
+    """Reverse conversion so reference users can consume our checkpoints."""
+    blocks = params["blocks"]
+    L = np.asarray(blocks["rms_1"]["scale"]).shape[0]
+    sd = {
+        "transformer.wte.weight": np.asarray(params["wte"]["weight"]),
+        "lm_head.weight": np.asarray(params["lm_head"]["weight"]).T,
+        "transformer.ln_f.scale": np.asarray(params["ln_f"]["scale"]),
+    }
+    for i in range(L):
+        sd[f"transformer.h.{i}.rms_1.scale"] = np.asarray(blocks["rms_1"]["scale"][i])
+        sd[f"transformer.h.{i}.rms_2.scale"] = np.asarray(blocks["rms_2"]["scale"][i])
+        sd[f"transformer.h.{i}.attn.c_attn.weight"] = np.asarray(
+            blocks["attn"]["c_attn"]["weight"][i]
+        ).T
+        sd[f"transformer.h.{i}.attn.c_proj.weight"] = np.asarray(
+            blocks["attn"]["c_proj"]["weight"][i]
+        ).T
+        sd[f"transformer.h.{i}.mlp.c_fc1.weight"] = np.asarray(
+            blocks["mlp"]["c_fc1"]["weight"][i]
+        ).T
+        sd[f"transformer.h.{i}.mlp.c_fc2.weight"] = np.asarray(
+            blocks["mlp"]["c_fc2"]["weight"][i]
+        ).T
+        sd[f"transformer.h.{i}.mlp.c_proj.weight"] = np.asarray(
+            blocks["mlp"]["c_proj"]["weight"][i]
+        ).T
+    return sd
+
+
+def load_lit_checkpoint(path, config: Optional[LLaMAConfig] = None):
+    """Load a reference lit-llama `.pth` (mmap'd — constant host memory, the
+    `lazy_load` capability of `lit_llama/utils.py:200-376`)."""
+    import torch
+
+    sd = torch.load(str(path), map_location="cpu", mmap=True, weights_only=True)
+    return lit_state_dict_to_native(sd, config)
+
+
+# ---------------------------------------------------------------------------
+# Meta (consolidated.*.pth) -> native
+# ---------------------------------------------------------------------------
+
+# dim along which each Meta tensor was model-parallel sharded
+# (reference `scripts/convert_checkpoint.py:55-63`)
+_META_SHARD_DIMS = {
+    "output.weight": 0,
+    "tok_embeddings.weight": 1,
+    "attention.wq.weight": 0,
+    "attention.wk.weight": 0,
+    "attention.wv.weight": 0,
+    "attention.wo.weight": 1,
+    "feed_forward.w1.weight": 0,
+    "feed_forward.w2.weight": 1,
+    "feed_forward.w3.weight": 0,
+}
+
+
+def meta_checkpoints_to_lit(state_dicts) -> Dict[str, np.ndarray]:
+    """Merge Meta model-parallel shards into one flat lit-style state dict
+    (reference `scripts/convert_checkpoint.py:20-52, 95-111`). Key layout/fusion
+    matches the reference: wq/wk/wv shards are merged per-matrix THEN concatenated
+    into the fused c_attn, which is equivalent to its de-interleave pass."""
+    merged: Dict[str, np.ndarray] = {}
+    keys = state_dicts[0].keys()
+    for key in keys:
+        if "rope.freqs" in key or "inner_attention" in key:
+            continue
+        parts = [_np(sd[key]) for sd in state_dicts]
+        dim = next(
+            (d for suffix, d in _META_SHARD_DIMS.items() if key.endswith(suffix)), None
+        )
+        merged[key] = parts[0] if dim is None else np.concatenate(parts, axis=dim)
+
+    out: Dict[str, np.ndarray] = {
+        "transformer.wte.weight": merged["tok_embeddings.weight"],
+        "lm_head.weight": merged["output.weight"],
+        "transformer.ln_f.scale": merged["norm.weight"],
+    }
+    layer_ids = sorted(
+        {int(k.split(".")[1]) for k in merged if k.startswith("layers.")}
+    )
+    for i in layer_ids:
+        out[f"transformer.h.{i}.attn.c_attn.weight"] = np.concatenate(
+            [
+                merged[f"layers.{i}.attention.wq.weight"],
+                merged[f"layers.{i}.attention.wk.weight"],
+                merged[f"layers.{i}.attention.wv.weight"],
+            ]
+        )
+        out[f"transformer.h.{i}.attn.c_proj.weight"] = merged[
+            f"layers.{i}.attention.wo.weight"
+        ]
+        out[f"transformer.h.{i}.mlp.c_fc1.weight"] = merged[
+            f"layers.{i}.feed_forward.w1.weight"
+        ]
+        out[f"transformer.h.{i}.mlp.c_proj.weight"] = merged[
+            f"layers.{i}.feed_forward.w2.weight"
+        ]
+        out[f"transformer.h.{i}.mlp.c_fc2.weight"] = merged[
+            f"layers.{i}.feed_forward.w3.weight"
+        ]
+        out[f"transformer.h.{i}.rms_1.scale"] = merged[
+            f"layers.{i}.attention_norm.weight"
+        ]
+        out[f"transformer.h.{i}.rms_2.scale"] = merged[f"layers.{i}.ffn_norm.weight"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace -> native
+# ---------------------------------------------------------------------------
+
+def _unpermute_hf(w: np.ndarray, n_head: int) -> np.ndarray:
+    """Reverse HF's q/k rotary permutation (reference
+    `scripts/convert_hf_checkpoint.py:61-68`)."""
+    dim = w.shape[1]
+    return (
+        w.reshape(n_head, 2, dim // n_head // 2, dim)
+        .transpose(0, 2, 1, 3)
+        .reshape(dim, dim)
+    )
+
+
+def hf_state_dict_to_lit(sd: Dict, config: LLaMAConfig) -> Dict[str, np.ndarray]:
+    """HF LLaMA state dict -> flat lit-style state dict
+    (reference `scripts/convert_hf_checkpoint.py:70-134`)."""
+    out: Dict[str, np.ndarray] = {
+        "transformer.wte.weight": _np(sd["model.embed_tokens.weight"]),
+        "lm_head.weight": _np(sd["lm_head.weight"]),
+        "transformer.ln_f.scale": _np(sd["model.norm.weight"]),
+    }
+    for i in range(config.n_layer):
+        p = f"model.layers.{i}."
+        q = _unpermute_hf(_np(sd[p + "self_attn.q_proj.weight"]), config.n_head)
+        k = _unpermute_hf(_np(sd[p + "self_attn.k_proj.weight"]), config.n_head)
+        v = _np(sd[p + "self_attn.v_proj.weight"])
+        out[f"transformer.h.{i}.attn.c_attn.weight"] = np.concatenate([q, k, v])
+        out[f"transformer.h.{i}.attn.c_proj.weight"] = _np(
+            sd[p + "self_attn.o_proj.weight"]
+        )
+        out[f"transformer.h.{i}.mlp.c_fc1.weight"] = _np(sd[p + "mlp.gate_proj.weight"])
+        out[f"transformer.h.{i}.mlp.c_fc2.weight"] = _np(sd[p + "mlp.up_proj.weight"])
+        out[f"transformer.h.{i}.mlp.c_proj.weight"] = _np(sd[p + "mlp.down_proj.weight"])
+        out[f"transformer.h.{i}.rms_1.scale"] = _np(sd[p + "input_layernorm.weight"])
+        out[f"transformer.h.{i}.rms_2.scale"] = _np(
+            sd[p + "post_attention_layernorm.weight"]
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch LoRA state -> native grouped layout
+# ---------------------------------------------------------------------------
+
+def lora_checkpoint_to_native(sd: Dict, config: LLaMAConfig, alpha: float):
+    """Reference LoRA state dict (`transformer.h.{i}.attn.c_attn.lora_{A,B}`,
+    A: (g*r, D), B: (g*D, r)) -> grouped leaves {lora_A (L, D, g*r),
+    lora_B (L, g, r, D), lora_alpha (L,)}."""
+    L, D = config.n_layer, config.n_embd
+    As, Bs = [], []
+    for i in range(L):
+        A = _np(sd[f"transformer.h.{i}.attn.c_attn.lora_A"])  # (g*r, D)
+        B = _np(sd[f"transformer.h.{i}.attn.c_attn.lora_B"])  # (g*D, r)
+        g = B.shape[0] // D
+        r = A.shape[0] // g
+        As.append(A.T)  # (D, g*r)
+        Bs.append(B.reshape(g, D, r).transpose(0, 2, 1))  # (g, r, D)
+    import jax.numpy as jnp
+
+    return {
+        "lora_A": jnp.asarray(np.stack(As)),
+        "lora_B": jnp.asarray(np.stack(Bs)),
+        "lora_alpha": jnp.full((L,), alpha, jnp.float32),
+    }

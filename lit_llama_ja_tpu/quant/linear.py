@@ -176,12 +176,42 @@ def dequantize_with_k(
 # Matmul
 # ---------------------------------------------------------------------------
 
-def quant_matmul(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
-    """``x @ dequant(params)`` — XLA path (dequant fuses into the matmul prologue).
+import os
 
-    The Pallas fused kernel takes over on TPU for supported shapes; see
-    `ops/pallas/quant_matmul.py` (dispatched in `models/llama.apply_linear` via
-    this function once kernels land).
+_FORCE_XLA = os.environ.get("LLJT_NO_PALLAS", "0") == "1"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def quant_matmul(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
+    """``x @ dequant(params)``.
+
+    On TPU this dispatches to the fused Pallas dequant-matmul kernels
+    (`ops/pallas/quant_matmul.py`) — weights stream from HBM at int4/int8 width.
+    Elsewhere (CPU tests) the XLA dequant path runs. Set LLJT_NO_PALLAS=1 to force
+    the XLA path for A/B comparison.
     """
-    w = dequantize_with_k(params, x.shape[-1], dtype=x.dtype)
+    K = x.shape[-1]
+    if _on_tpu() and not _FORCE_XLA:
+        from lit_llama_ja_tpu.ops.pallas.quant_matmul import (
+            quant_matmul_int4,
+            quant_matmul_int8,
+        )
+
+        bits = infer_bits(params["qweight"], K)
+        if bits == 4:
+            return quant_matmul_int4(
+                x, params["qweight"], params["scales"], params["zeros"],
+                out_dtype=x.dtype,
+            )
+        return quant_matmul_int8(
+            x, params["qweight"], params["scales"], params["zeros"],
+            out_dtype=x.dtype,
+        )
+    w = dequantize_with_k(params, K, dtype=x.dtype)
     return x @ w

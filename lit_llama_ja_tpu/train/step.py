@@ -140,6 +140,72 @@ def make_train_step(
     return train_step
 
 
+def make_sft_train_step(
+    config: LLaMAConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    forward_fn: Optional[Callable] = None,
+    trainable_pred: Optional[Callable[[str], bool]] = None,
+    lora_dropout: float = 0.0,
+):
+    """Instruction-tuning step: batch is {"input_ids": (A, B, T), "labels": (A, B, T)}
+    with labels already shifted-source (loss predicts labels[t+1] from inputs[..t],
+    reference `finetune/lora.py:180-184`). Returns
+    ``(params, opt_state, batch, rng) -> (params, opt_state, loss)``.
+    """
+    fwd = forward_fn
+
+    def loss_of(params, micro, rng):
+        inputs = micro["input_ids"]
+        labels = micro["labels"]
+        if fwd is not None:
+            logits = fwd(params, inputs)
+        else:
+            logits = llama.forward(
+                params, inputs, config, dropout_rng=rng, dropout_rate=lora_dropout
+            )
+        return cross_entropy_loss(logits[:, :-1], labels[:, 1:])
+
+    def train_step(params, opt_state, batch, rng):
+        if trainable_pred is not None:
+            trainable, frozen = partition_trainable(params, trainable_pred)
+
+            def loss_fn(t, micro, r):
+                return loss_of(merge_trees(t, frozen), micro, r)
+
+            work_params = trainable
+        else:
+
+            def loss_fn(t, micro, r):
+                return loss_of(t, micro, r)
+
+            work_params = params
+
+        grad_fn = jax.value_and_grad(loss_fn)
+        A = batch["input_ids"].shape[0]
+        rngs = jax.random.split(rng, A)
+
+        def accum_body(acc, xs):
+            micro, r = xs
+            loss, grads = grad_fn(work_params, micro, r)
+            acc_grads, acc_loss = acc
+            return (jax.tree.map(jnp.add, acc_grads, grads), acc_loss + loss), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, work_params)
+        (grads, loss_sum), _ = jax.lax.scan(
+            accum_body, (zero_grads, jnp.float32(0.0)), (batch, rngs)
+        )
+        grads = jax.tree.map(lambda g: g / A, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, work_params)
+        new_work = optax.apply_updates(work_params, updates)
+        params = (
+            merge_trees(new_work, frozen) if trainable_pred is not None else new_work
+        )
+        return params, opt_state, loss_sum / A
+
+    return train_step
+
+
 def init_opt_state(optimizer, params, trainable_pred=None):
     if trainable_pred is not None:
         trainable, _ = partition_trainable(params, trainable_pred)
