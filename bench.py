@@ -78,7 +78,8 @@ def main():
 
     config = LLaMAConfig.from_name(model)
     params = synth_int4_params(config, jax.random.PRNGKey(0))
-    cache = init_kv_cache(config, batch, seq, jnp.bfloat16)
+    # north-star config: int4 weights + INT8-quantized KV cache
+    cache = init_kv_cache(config, batch, seq, quantized=True)
 
     tok = jnp.zeros((batch, 1), jnp.int32)
 

@@ -33,7 +33,8 @@ def bucket_length(n: int, minimum: int = 16) -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "config", "max_new_tokens", "max_seq_length", "temperature", "top_k", "cache_dtype",
+        "config", "max_new_tokens", "max_seq_length", "temperature", "top_k",
+        "cache_dtype", "quantize_kv",
     ),
 )
 def _generate_jit(
@@ -48,9 +49,10 @@ def _generate_jit(
     temperature: float,
     top_k: Optional[int],
     cache_dtype,
+    quantize_kv: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     P = padded_prompt.shape[0]
-    cache = init_kv_cache(config, 1, max_seq_length, cache_dtype)
+    cache = init_kv_cache(config, 1, max_seq_length, cache_dtype, quantized=quantize_kv)
 
     # --- prefill: all P slots in one pass; slots >= prompt_len hold garbage but are
     # masked by position until overwritten by decode steps.
@@ -96,6 +98,7 @@ def generate(
     eos_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
+    quantize_kv: bool = False,
 ) -> np.ndarray:
     """Generate a continuation of ``prompt`` (1-D int array of token ids).
 
@@ -125,6 +128,7 @@ def generate(
         temperature=temperature,
         top_k=top_k,
         cache_dtype=cache_dtype,
+        quantize_kv=quantize_kv,
     )
     new_tokens = np.asarray(new_tokens)
     if eos_id is not None:

@@ -87,9 +87,23 @@ def init_kv_cache(
     batch_size: int,
     max_seq_length: int,
     dtype: jnp.dtype = jnp.float32,
+    quantized: bool = False,
 ) -> KVCache:
-    """Zero-filled KV cache pytree: ``(L, B, n_head, max_seq_length, head_dim)``."""
+    """Zero-filled KV cache pytree: ``(L, B, n_head, max_seq_length, head_dim)``.
+
+    ``quantized=True`` stores INT8 values + per-slot f32 absmax scales (halves the
+    per-token decode HBM traffic of the cache; see
+    `ops/attention.decode_attention_quant`).
+    """
     shape = (config.n_layer, batch_size, config.n_head, max_seq_length, config.head_dim)
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.ones(sshape, jnp.float32),
+            "v_scale": jnp.ones(sshape, jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -181,33 +195,50 @@ def attention_block(
         y = causal_attention(q, k, v)
         new_cache = None
     else:
-        cache_k, cache_v = kv_cache
-        S = cache_k.shape[2]
+        quantized = "k_scale" in kv_cache
+        S = kv_cache["k"].shape[2]
         last_pos = input_pos[-1]
 
-        def evict(ck, cv, pos):
+        def evict(cache, pos):
             # Reference roll-left eviction (`lit_llama/model.py:221-227`): shift the
             # whole cache one slot left and write at the last slot.
-            ck = jnp.roll(ck, -1, axis=2)
-            cv = jnp.roll(cv, -1, axis=2)
-            return ck, cv, jnp.full_like(pos, S - 1)
+            cache = {key: jnp.roll(c, -1, axis=2) for key, c in cache.items()}
+            return cache, jnp.full_like(pos, S - 1)
 
-        def keep(ck, cv, pos):
-            return ck, cv, pos
-
-        cache_k, cache_v, write_pos = jax.lax.cond(
-            last_pos >= S, evict, keep, cache_k, cache_v, input_pos
+        cache, write_pos = jax.lax.cond(
+            last_pos >= S, evict, lambda c, p: (c, p), kv_cache, input_pos
         )
+
+        if quantized:
+            from lit_llama_ja_tpu.ops.attention import (
+                decode_attention_quant,
+                quantize_kv,
+            )
+
+            kq, ks, vq, vs = quantize_kv(k, v)
+            writes = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+        else:
+            writes = {"k": k.astype(cache["k"].dtype),
+                      "v": v.astype(cache["v"].dtype)}
+
         # Contiguous T-token write at write_pos[0] (prefill: [0..T), decode: [t]).
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, 0, write_pos[0], 0)
-        )
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, 0, write_pos[0], 0)
-        )
-        y = decode_attention(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
-                             write_pos)
-        new_cache = (cache_k, cache_v)
+        cache = {
+            key: jax.lax.dynamic_update_slice(
+                cache[key], val, (0, 0, write_pos[0], 0)
+            )
+            for key, val in writes.items()
+        }
+
+        if quantized:
+            y = decode_attention_quant(
+                q, cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
+                write_pos,
+            )
+        else:
+            y = decode_attention(
+                q, cache["k"].astype(q.dtype), cache["v"].astype(q.dtype), write_pos
+            )
+        new_cache = cache
 
     y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
     return apply_linear(attn_params["c_proj"], y), new_cache
@@ -325,18 +356,16 @@ def forward_with_cache(
     x = params["wte"]["weight"][idx]
 
     def body(x, layer_in):
-        block_params, ck, cv = layer_in
-        x, (ck, cv) = transformer_block(
-            block_params, x, rope, config, kv_cache=(ck, cv), input_pos=input_pos
+        block_params, cache_l = layer_in
+        x, cache_l = transformer_block(
+            block_params, x, rope, config, kv_cache=cache_l, input_pos=input_pos
         )
-        return x, (ck, cv)
+        return x, cache_l
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["blocks"], kv_cache["k"], kv_cache["v"])
-    )
+    x, new_cache = jax.lax.scan(body, x, (params["blocks"], kv_cache))
     x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
     logits = apply_linear(params["lm_head"], x)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new_cache
 
 
 def param_count(params: Params) -> int:

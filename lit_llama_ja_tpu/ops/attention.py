@@ -63,6 +63,55 @@ def decode_attention(
     return _sdpa(q, k, v, mask[None, None], scale)
 
 
+def decode_attention_quant(
+    q: jax.Array,
+    k_q: jax.Array,  # (B, nh, S, hd) int8
+    k_scale: jax.Array,  # (B, nh, S, 1) f32
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    input_pos: jax.Array,
+) -> jax.Array:
+    """Decode attention against an INT8-quantized KV cache (per-slot absmax scales).
+
+    The dequant never materializes a bf16 cache: the k scale factors out of the
+    dot onto the (Tq, S) score matrix (``q·(k_j s_j) = (q·k_j) s_j``) and the v
+    scale folds into the attention weights (``Σ_j p_j v_j s_j = Σ_j (p_j s_j) v_j``),
+    so the cache streams from HBM at int8 width and only O(Tq·S) corrections run
+    on the VPU.
+    """
+    S = k_q.shape[2]
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    slot = jnp.arange(S, dtype=input_pos.dtype)
+    mask = (slot[None, :] <= input_pos[:, None])[None, None]  # (1, 1, T, S)
+    att = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_q.astype(q.dtype)
+    ) * k_scale[..., 0][:, :, None, :].astype(jnp.float32)
+    att = jnp.where(mask, att * scale, -jnp.inf)
+    att = jax.nn.softmax(att, axis=-1)
+    att = att * v_scale[..., 0][:, :, None, :]
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", att.astype(q.dtype), v_q.astype(q.dtype)
+    )
+
+
+def quantize_kv(k: jax.Array, v: jax.Array):
+    """Per-slot (token, head) absmax INT8 quantization of new k/v entries.
+
+    k, v: (B, nh, T, hd) -> (int8 values, f32 scales (B, nh, T, 1)).
+    """
+    def one(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+            jnp.int8
+        )
+        return q, scale
+
+    kq, ks = one(k)
+    vq, vs = one(v)
+    return kq, ks, vq, vs
+
+
 def prefix_attention(q: jax.Array, ak: jax.Array, av: jax.Array) -> jax.Array:
     """Unmasked cross-attention against an adapter prefix (reference
     `lit_llama/adapter.py:160-164`): every query sees every prefix slot.

@@ -45,6 +45,47 @@ def test_sharded_forward_matches_single_device(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_sharded_cached_decode_matches_single_device(rng):
+    """TP-sharded decode with KV cache (the multi-chip serving path) must be
+    numerically identical to unsharded decode."""
+    import jax.numpy as jnp
+
+    from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
+    from lit_llama_ja_tpu.parallel.specs import kv_cache_shardings
+
+    params = init_params(jax.random.PRNGKey(5), CFG)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 6)), jnp.int32)
+
+    cache = init_kv_cache(CFG, 1, 8)
+    want, _ = forward_with_cache(params, ids, jnp.arange(6, dtype=jnp.int32), cache, CFG)
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=4)
+    sharded = shard_params(params, mesh)
+    cache2 = init_kv_cache(CFG, 1, 8)
+    cache2 = jax.device_put(cache2, kv_cache_shardings(cache2, mesh))
+    got, new_cache = forward_with_cache(
+        sharded, ids, jnp.arange(6, dtype=jnp.int32), cache2, CFG
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sharded_serving_engine(rng):
+    """The continuous-batching engine runs with tensor-sharded params."""
+    from lit_llama_ja_tpu.infer.serving import Engine
+
+    params = init_params(jax.random.PRNGKey(6), CFG)
+    mesh = make_mesh(dp=1, fsdp=2, tp=4)
+    sharded = shard_params(params, mesh)
+    eng = Engine(sharded, CFG, max_batch=2, max_seq_length=16)
+    prompt = rng.integers(0, CFG.vocab_size, size=(4,)).astype(np.int32)
+    out = eng.run([(prompt, 4)])
+    assert len(out[0]) == 8
+
+    unsharded = Engine(params, CFG, max_batch=2, max_seq_length=16)
+    want = unsharded.run([(prompt, 4)])
+    np.testing.assert_array_equal(out[0], want[0])
+
+
 def test_sharded_params_actually_sharded():
     params = init_params(jax.random.PRNGKey(1), CFG)
     mesh = make_mesh(dp=1, fsdp=2, tp=4)
