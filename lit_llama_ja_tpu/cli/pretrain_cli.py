@@ -127,10 +127,32 @@ def main(
     opt_state = init_opt_state(opt, params)
 
     grad_accum = max(batch_size // mesh.devices.size // micro_batch_size, 1)
-    train_ds = create_dataset(
-        train_data_dir, train_data_config, config.block_size + 1, seed=seed + 1
-    )
-    batches = batch_iterator(train_ds, micro_batch_size)
+    # prefer the native C++ prefetching reader for single-source dirs; the Python
+    # CombinedDataset handles weighted multi-source mixing
+    batches = None
+    single_source = [
+        (p, w) for p, w in train_data_config
+        if glob.glob(os.path.join(train_data_dir, p + "*"))
+    ]
+    if len(single_source) == 1:
+        try:
+            from lit_llama_ja_tpu.data.native_loader import NativePackedBatches
+
+            files = sorted(
+                glob.glob(os.path.join(train_data_dir, single_source[0][0] + "*"))
+            )
+            batches = NativePackedBatches(
+                files, micro_batch_size, config.block_size + 1,
+                seed=seed + 1, wrap=True,
+            )
+            print("using native C++ packed reader")
+        except Exception as e:  # pragma: no cover - build env without g++
+            print(f"native reader unavailable ({e}); using Python reader")
+    if batches is None:
+        train_ds = create_dataset(
+            train_data_dir, train_data_config, config.block_size + 1, seed=seed + 1
+        )
+        batches = batch_iterator(train_ds, micro_batch_size)
 
     validate_fn = None
     if val_data_dir:

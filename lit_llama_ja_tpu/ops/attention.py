@@ -28,12 +28,26 @@ def _sdpa(q, k, v, mask, scale):
 def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Causal self-attention over a full sequence.
 
+    On TPU, long aligned sequences dispatch to the Pallas flash-attention kernel
+    (O(T) memory, `ops/pallas/flash_attention.py`); otherwise the XLA softmax chain
+    runs (which XLA fuses well at short T).
+
     Args:
       q, k, v: ``(B, n_head, T, head_dim)``.
     Returns:
       ``(B, n_head, T, head_dim)``.
     """
-    T = q.shape[2]
+    T, hd = q.shape[2], q.shape[3]
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and T >= 512
+        and T % 256 == 0
+        and hd in (64, 128)
+    )
+    if use_flash:
+        from lit_llama_ja_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     mask = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
     return _sdpa(q, k, v, mask, scale)
