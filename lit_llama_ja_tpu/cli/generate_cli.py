@@ -49,10 +49,6 @@ def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
             from lit_llama_ja_tpu.quant.linear import quantize_colblock
 
             bits = 4 if quantize.endswith("int4") else 8
-
-            def maybe_quant(leaf_path, leaf):
-                return leaf
-
             # RTN-quantize the five block linears + lm_head
             from lit_llama_ja_tpu.quant.pipeline import SUBMODULES, _get, _set, _to_mutable
 
