@@ -41,24 +41,26 @@ from lit_llama_ja_tpu.ops.sampling import sample_token
 
 
 def _slot_attention(q, cache_l, pos, quantized):
-    """q: (B, nh, 1, hd); cache_l leaves (B, nh, S, hd); pos: (B,) current slot."""
-    S = cache_l["k"].shape[2]
+    """q: (B, nh, 1, hd); cache_l leaves (B, S, nh, hd) — the serving layout keeps
+    the (batch, slot) axes leading and adjacent so per-slot writes are clean
+    scatters (no cache relayout); pos: (B,) current slot."""
+    S = cache_l["k"].shape[1]
     slot = jnp.arange(S, dtype=pos.dtype)
     mask = (slot[None, :] <= pos[:, None])[:, None, None, :]  # (B, 1, 1, S)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if quantized:
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, cache_l["k"].astype(q.dtype))
-        att = att * cache_l["k_scale"][..., 0][:, :, None, :].astype(jnp.float32)
+        att = jnp.einsum("bhqd,bshd->bhqs", q, cache_l["k"].astype(q.dtype))
+        att = att * cache_l["k_scale"][..., 0].transpose(0, 2, 1)[:, :, None, :].astype(jnp.float32)
         att = jnp.where(mask, att * scale, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1)
-        att = att * cache_l["v_scale"][..., 0][:, :, None, :]
+        att = att * cache_l["v_scale"][..., 0].transpose(0, 2, 1)[:, :, None, :]
         return jnp.einsum(
-            "bhqk,bhkd->bhqd", att.astype(q.dtype), cache_l["v"].astype(q.dtype)
+            "bhqs,bshd->bhqd", att.astype(q.dtype), cache_l["v"].astype(q.dtype)
         )
-    att = jnp.einsum("bhqd,bhkd->bhqk", q, cache_l["k"].astype(q.dtype)) * scale
+    att = jnp.einsum("bhqd,bshd->bhqs", q, cache_l["k"].astype(q.dtype)) * scale
     att = jnp.where(mask, att.astype(jnp.float32), -jnp.inf)
     att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", att, cache_l["v"].astype(q.dtype))
+    return jnp.einsum("bhqs,bshd->bhqd", att, cache_l["v"].astype(q.dtype))
 
 
 @partial(jax.jit, static_argnames=("config", "quantized"), donate_argnums=(3,))
@@ -66,7 +68,7 @@ def _batched_decode_step(
     params,
     toks: jax.Array,  # (B,) int32 current tokens (garbage for inactive slots)
     pos: jax.Array,  # (B,) int32 per-slot positions
-    cache: Dict[str, jax.Array],  # leaves (L, B, nh, S, hd)
+    cache: Dict[str, jax.Array],  # leaves (L, B, S, nh, hd) — serving layout
     config: LLaMAConfig,
     quantized: bool,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -106,9 +108,10 @@ def _batched_decode_step(
         else:
             writes = {"k": k.astype(cache_l["k"].dtype),
                       "v": v.astype(cache_l["v"].dtype)}
-        # aligned per-slot scatter: slot b writes at (b, :, pos[b])
+        # adjacent-leading-index scatter: slot b writes row (b, pos[b]) — no axis
+        # movement, so XLA updates rows in place instead of relaying the cache
         cache_l = {
-            key: cache_l[key].at[barange, :, pos].set(val[:, :, 0])
+            key: cache_l[key].at[barange, pos].set(val[:, :, 0])
             for key, val in writes.items()
         }
         y = _slot_attention(q, cache_l, pos, quantized)
@@ -139,15 +142,20 @@ def _prefill_slot(
     """Prefill one slot's cache region; returns (last-token logits (V,), cache)."""
     from lit_llama_ja_tpu.models.llama import forward_with_cache
 
-    # run the single-sequence path on a view of this slot
-    cache_slot = {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
-                  for k, v in cache.items()}
+    # run the single-sequence path on a view of this slot; the model path uses
+    # (L, 1, nh, S, hd) so transpose the slot view in and out of serving layout
+    cache_slot = {
+        k: jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1).transpose(0, 1, 3, 2, 4)
+        for k, v in cache.items()
+    }
     input_pos = jnp.arange(padded_prompt.shape[0], dtype=jnp.int32)
     logits, cache_slot = forward_with_cache(
         params, padded_prompt[None], input_pos, cache_slot, config
     )
     cache = {
-        k: jax.lax.dynamic_update_slice_in_dim(cache[k], cache_slot[k], slot, axis=1)
+        k: jax.lax.dynamic_update_slice_in_dim(
+            cache[k], cache_slot[k].transpose(0, 1, 3, 2, 4), slot, axis=1
+        )
         for k in cache
     }
     last = jax.lax.dynamic_index_in_dim(logits[0], prompt_len - 1, axis=0,
@@ -187,10 +195,12 @@ class Engine:
         self.S = max_seq_length or config.block_size
         self.quantized = quantize_kv
         self.eos_id = eos_id
-        self.cache = init_kv_cache(
+        base = init_kv_cache(
             config, max_batch, self.S,
             dtype=jnp.bfloat16, quantized=quantize_kv,
         )
+        # serving layout: (L, B, S, nh, hd) — see _slot_attention
+        self.cache = {k: v.transpose(0, 1, 3, 2, 4) for k, v in base.items()}
         self.pos = np.zeros(max_batch, np.int32)  # next write position per slot
         self.cur = np.zeros(max_batch, np.int32)  # current token per slot
         self.slot_req: List[Optional[_Request]] = [None] * max_batch

@@ -37,12 +37,17 @@ def _np(t) -> np.ndarray:
 # lit-llama .pth <-> native
 # ---------------------------------------------------------------------------
 
-def lit_state_dict_to_native(sd: Dict, config: Optional[LLaMAConfig] = None):
+def lit_state_dict_to_native(
+    sd: Dict, config: Optional[LLaMAConfig] = None, dtype=np.float32
+):
     """Flat lit-llama torch state dict -> this framework's stacked param tree.
 
     Torch Linears store (out, in); ours store (in, out) -> transpose every weight.
     Per-layer `transformer.h.{i}.*` tensors stack on a leading layer axis.
+    Each tensor converts to ``dtype`` as it is read (from an mmap'd load this keeps
+    peak host memory at ~one model copy in the target dtype).
     """
+    _cast = lambda a: _np(a).astype(dtype, copy=False)
     if config is None:
         n_embd = _np(sd["transformer.wte.weight"]).shape[1]
         config = LLaMAConfig.from_name(llama_model_lookup(n_embd))
@@ -58,7 +63,7 @@ def lit_state_dict_to_native(sd: Dict, config: Optional[LLaMAConfig] = None):
         return w
 
     def layer(i, key):
-        return _np(sd[f"transformer.h.{i}.{key}"])
+        return _cast(sd[f"transformer.h.{i}.{key}"])
 
     def stack_w(key):  # transposed linear weights
         return np.stack([layer(i, key).T for i in range(L)])
@@ -67,9 +72,9 @@ def lit_state_dict_to_native(sd: Dict, config: Optional[LLaMAConfig] = None):
         return np.stack([layer(i, key) for i in range(L)])
 
     return {
-        "wte": {"weight": pad_vocab(_np(sd["transformer.wte.weight"]))},
-        "lm_head": {"weight": pad_vocab(_np(sd["lm_head.weight"])).T},
-        "ln_f": {"scale": _np(sd["transformer.ln_f.scale"])},
+        "wte": {"weight": pad_vocab(_cast(sd["transformer.wte.weight"]))},
+        "lm_head": {"weight": pad_vocab(_cast(sd["lm_head.weight"])).T},
+        "ln_f": {"scale": _cast(sd["transformer.ln_f.scale"])},
         "blocks": {
             "rms_1": {"scale": stack_v("rms_1.scale")},
             "attn": {
@@ -116,13 +121,19 @@ def native_to_lit_state_dict(params) -> Dict[str, np.ndarray]:
     return sd
 
 
-def load_lit_checkpoint(path, config: Optional[LLaMAConfig] = None):
+def load_lit_checkpoint(
+    path, config: Optional[LLaMAConfig] = None, dtype=np.float32
+):
     """Load a reference lit-llama `.pth` (mmap'd — constant host memory, the
-    `lazy_load` capability of `lit_llama/utils.py:200-376`)."""
+    `lazy_load` capability of `lit_llama/utils.py:200-376`).
+
+    ``dtype``: target numpy dtype for the converted tree; converting per-tensor
+    while streaming out of the mmap keeps peak host memory at ~one model copy in
+    the target dtype (e.g. float16 halves the 7B footprint vs fp32)."""
     import torch
 
     sd = torch.load(str(path), map_location="cpu", mmap=True, weights_only=True)
-    return lit_state_dict_to_native(sd, config)
+    return lit_state_dict_to_native(sd, config, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

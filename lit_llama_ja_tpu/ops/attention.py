@@ -38,11 +38,13 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
       ``(B, n_head, T, head_dim)``.
     """
     T, hd = q.shape[2], q.shape[3]
+    # hd == 128 only: the hd=64 variant compiles pathologically slowly on the
+    # current Mosaic toolchain (observed: >30 min for the 49M-config train step)
     use_flash = (
         jax.default_backend() == "tpu"
-        and T >= 512
+        and T >= 1024
         and T % 256 == 0
-        and hd in (64, 128)
+        and hd == 128
     )
     if use_flash:
         from lit_llama_ja_tpu.ops.pallas.flash_attention import flash_attention

@@ -86,6 +86,30 @@ def test_sharded_serving_engine(rng):
     np.testing.assert_array_equal(out[0], want[0])
 
 
+def test_sharded_quantized_model(rng):
+    """INT4-quantized params shard over (fsdp, tp) and produce identical logits —
+    the tensor-sharded quantized serving configuration (BASELINE config #5)."""
+    import jax.numpy as jnp
+
+    from lit_llama_ja_tpu.quant.pipeline import gptq_quantize_model
+
+    params = init_params(jax.random.PRNGKey(7), CFG)
+    calib = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(2, 8)), jnp.int32)
+    qparams = gptq_quantize_model(params, CFG, calib, bits=4, micro_batch=2,
+                                  progress=False)
+    idx = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 6)), jnp.int32)
+    want = np.asarray(forward(qparams, idx, CFG))
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=4)
+    sharded = shard_params(qparams, mesh)
+    qw = sharded["blocks"]["attn"]["c_attn"]["qweight"]
+    assert {s.data.shape for s in qw.addressable_shards} == {
+        (CFG.n_layer, CFG.n_embd // 2 // 2, 3 * CFG.n_embd // 4)
+    }
+    got = np.asarray(forward(sharded, idx, CFG))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_sharded_params_actually_sharded():
     params = init_params(jax.random.PRNGKey(1), CFG)
     mesh = make_mesh(dp=1, fsdp=2, tp=4)
