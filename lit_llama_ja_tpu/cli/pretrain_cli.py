@@ -75,6 +75,7 @@ def main(
     max_iters: int = 143000,
     warmup_iters: int = 2000,
     grad_clip: float = 1.0,
+    remat: bool = False,
     dp: int = 1,
     fsdp: int = -1,
     tp: int = 1,
@@ -123,7 +124,9 @@ def main(
         learning_rate, warmup_iters, max_iters, learning_rate / 10
     )
     opt = make_adamw(schedule, weight_decay=weight_decay, grad_clip=grad_clip)
-    step = jit_train_step(make_train_step(config, opt), mesh=mesh, params=params)
+    step = jit_train_step(
+        make_train_step(config, opt, remat=remat), mesh=mesh, params=params
+    )
     opt_state = init_opt_state(opt, params)
 
     grad_accum = max(batch_size // mesh.devices.size // micro_batch_size, 1)

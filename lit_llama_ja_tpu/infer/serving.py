@@ -129,6 +129,42 @@ def _batched_decode_step(
     return logits, new_cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "quantized", "top_k"),
+    donate_argnums=(3,),
+)
+def _decode_and_sample(
+    params,
+    toks: jax.Array,  # (B,)
+    pos: jax.Array,  # (B,)
+    cache: Dict[str, jax.Array],
+    key: jax.Array,
+    temps: jax.Array,  # (B,) float32; 0.0 -> greedy
+    config: LLaMAConfig,
+    quantized: bool,
+    top_k: Optional[int],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Decode step + per-slot sampling fused into ONE device program.
+
+    Host-side ops between chained jit calls cost ~50 ms/step on the remote
+    platform (measured, PERF.md); keeping sampling in-jit means the host loop
+    only moves B int32 tokens per step.
+    """
+    logits, cache = _batched_decode_step(params, toks, pos, cache, config, quantized)
+    logits = logits.astype(jnp.float32)
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
+        sample_logits = jnp.where(logits < kth, -jnp.inf, logits)
+    else:
+        sample_logits = logits
+    safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
+    sampled = jax.random.categorical(key, sample_logits / safe_t, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+    return nxt, cache
+
+
 @partial(jax.jit, static_argnames=("config", "quantized"), donate_argnums=(3,))
 def _prefill_slot(
     params,
@@ -203,6 +239,8 @@ class Engine:
         self.cache = {k: v.transpose(0, 1, 3, 2, 4) for k, v in base.items()}
         self.pos = np.zeros(max_batch, np.int32)  # next write position per slot
         self.cur = np.zeros(max_batch, np.int32)  # current token per slot
+        self.temps = np.zeros(max_batch, np.float32)  # per-slot temperature
+        self.top_k: Optional[int] = None  # engine-wide static top_k
         self.slot_req: List[Optional[_Request]] = [None] * max_batch
         self.queue: List[_Request] = []
         self._next_id = 0
@@ -245,6 +283,10 @@ class Engine:
             self.slot_req[slot] = req
             self.pos[slot] = T
             self.cur[slot] = tok
+            self.temps[slot] = req.temperature
+            if req.top_k is not None:
+                # top_k is jit-static: the engine adopts the first request's value
+                self.top_k = req.top_k if self.top_k is None else self.top_k
             self._maybe_finish(req)
 
     def _maybe_finish(self, req: _Request):
@@ -264,23 +306,24 @@ class Engine:
         active = [r for r in self.slot_req if r is not None]
         if not active:
             return []
-        logits, self.cache = _batched_decode_step(
+        self.key, sub = jax.random.split(self.key)
+        nxt, self.cache = _decode_and_sample(
             self.params,
             jnp.asarray(self.cur),
             jnp.asarray(self.pos),
             self.cache,
+            sub,
+            jnp.asarray(self.temps),
             self.config,
             self.quantized,
+            self.top_k,
         )
-        logits = np.asarray(logits, np.float32)
+        nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            self.key, sub = jax.random.split(self.key)
-            tok = int(
-                sample_token(sub, jnp.asarray(logits[slot]), req.temperature, req.top_k)
-            )
+            tok = int(nxt[slot])
             req.tokens.append(tok)
             self.pos[slot] += 1
             self.cur[slot] = tok

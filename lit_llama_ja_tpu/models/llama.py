@@ -291,13 +291,14 @@ def _rope_for_positions(config: LLaMAConfig, input_pos: Optional[jax.Array], T: 
     return cache[input_pos]
 
 
-@partial(jax.jit, static_argnames=("config", "dropout_rate"))
+@partial(jax.jit, static_argnames=("config", "dropout_rate", "remat"))
 def forward(
     params: Params,
     idx: jax.Array,
     config: LLaMAConfig,
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
+    remat: bool = False,
 ) -> jax.Array:
     """Full-sequence forward (training / perplexity path, no cache).
 
@@ -305,6 +306,10 @@ def forward(
       idx: ``(B, T)`` int32 token ids.
       dropout_rng/dropout_rate: LoRA-branch dropout (reference `lora.py:82-84`);
         only used when the tree carries LoRA leaves and a rng is given.
+      remat: rematerialize per-block activations in the backward pass — the
+        activation-checkpointing-on-Block equivalent of the reference's FSDP
+        strategy (`pretrain/shakespeare.py:49-52`, `finetune/full.py:57-58`);
+        trades ~1/3 more FLOPs for O(L) -> O(1) blocks of live activations.
     Returns:
       logits ``(B, T, padded_vocab_size)``.
     """
@@ -329,6 +334,8 @@ def forward(
         )
         return x, None
 
+    if remat:
+        body = jax.checkpoint(body)
     xs = params["blocks"] if layer_rngs is None else (params["blocks"], layer_rngs)
     x, _ = jax.lax.scan(body, x, xs)
     x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)

@@ -73,16 +73,18 @@ def make_train_step(
     trainable_pred: Optional[Callable[[str], bool]] = None,
     ignore_index: int = -1,
     compute_dtype=None,
+    remat: bool = False,
 ):
     """Build ``train_step(params, opt_state, batch) -> (params, opt_state, loss)``.
 
     ``batch`` is ``(accum_steps, micro_bs, T+1)`` int32 — slot 0..T-1 are inputs,
     1..T targets (reference slicing at `pretrain/redpajama.py:225-226`).
+    ``remat=True`` enables per-block activation checkpointing (see llama.forward).
     Wrap the returned function in `jax.jit` (see `jit_train_step`) or call it inside
     an outer pjit with mesh shardings.
     """
     fwd = forward_fn if forward_fn is not None else (
-        lambda p, x: llama.forward(p, x, config)
+        lambda p, x: llama.forward(p, x, config, remat=remat)
     )
 
     def loss_of(params, micro):
