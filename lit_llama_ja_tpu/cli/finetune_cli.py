@@ -7,6 +7,7 @@ PEFT-only state). Hyperparameter defaults mirror the reference scripts.
 """
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 from functools import partial
@@ -79,10 +80,7 @@ def _finetune_driver(
         dropout = lora_dropout
     elif variant in ("adapter", "adapter_v2"):
         acfg = adapter_mod.AdapterConfig(
-            **{
-                f.name: getattr(config, f.name)
-                for f in __import__("dataclasses").fields(config)
-            }
+            **{f.name: getattr(config, f.name) for f in dataclasses.fields(config)}
         )
         aparams = adapter_mod.init_adapter_params(jax.random.PRNGKey(seed), acfg)
         params = adapter_mod.add_adapter(params, aparams)

@@ -105,6 +105,9 @@ def main(
     )
     from lit_llama_ja_tpu.train.trainer import TrainLoopConfig, make_validate_fn, train_loop
 
+    from lit_llama_ja_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     config = LLaMAConfig.from_name(model_size)
     config.debug()
     os.makedirs(out_dir, exist_ok=True)

@@ -109,6 +109,11 @@ def generate(
     """
     prompt = jnp.asarray(prompt, jnp.int32)
     T = int(prompt.shape[0])
+    if T > config.block_size:
+        raise ValueError(
+            f"Cannot forward sequence of length {T}, block size is only "
+            f"{config.block_size}"  # reference assertion, lit_llama/model.py:92-94
+        )
     if max_seq_length is None:
         max_seq_length = min(T + max_new_tokens, config.block_size)
     P = min(bucket_length(T), config.block_size)

@@ -270,6 +270,11 @@ class Engine:
                 continue
             req = self.queue.pop(0)
             T = len(req.prompt)
+            if T >= self.S:
+                raise ValueError(
+                    f"prompt length {T} does not fit the {self.S}-slot cache "
+                    "(reference semantics: prompts are capped at block_size)"
+                )
             P = min(bucket_length(T), self.S)
             padded = jnp.zeros((P,), jnp.int32).at[:T].set(jnp.asarray(req.prompt))
             logits, self.cache = _prefill_slot(
@@ -348,11 +353,8 @@ class Engine:
 
         remember()
         while len(finished) < len(all_reqs):
-            emitted = self.step()
+            self.step()
             remember()
-            if not emitted and not self.queue and not any(self.slot_req):
-                # everything retired during admit (e.g. 1-token requests)
-                pass
             for rid, req in list(reqs_by_id.items()):
                 if req.done and rid not in finished:
                     finished[rid] = np.concatenate(

@@ -21,6 +21,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 AXES = ("dp", "fsdp", "tp")
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed when launched under a multi-host coordinator
+    (JAX_COORDINATOR_ADDRESS or TPU pod env). Safe no-op on a single host."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+            return True
+        except RuntimeError:
+            pass  # already initialized
+    return False
+
+
 def make_mesh(
     dp: int = 1,
     fsdp: int = -1,
