@@ -1,0 +1,107 @@
+"""Batch-serving CLI over the continuous-batching engine (new capability —
+the reference has only single-prompt `generate.py`)."""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def main(
+    prompts_file: str = "",
+    prompt: str = "Hello, my name is",
+    n_requests: int = 8,
+    max_new_tokens: int = 50,
+    max_batch: int = 8,
+    temperature: float = 0.8,
+    top_k: int = 200,
+    checkpoint_path: str = "checkpoints/lit-llama/7B/native",
+    tokenizer_path: str = "checkpoints/lit-llama/tokenizer.json",
+    quantize: Optional[str] = None,
+    quantize_kv: bool = True,
+    max_seq_length: int = 2048,
+    seed: int = 1234,
+) -> None:
+    """Serve a batch of prompts with continuous batching.
+
+    Args:
+        prompts_file: newline-separated prompts; empty -> repeat ``prompt``
+            ``n_requests`` times.
+        quantize: None | "llm.int8" | "gptq.int4" | "gptq.int8" (weights).
+        quantize_kv: INT8 KV cache (halves decode cache traffic).
+    """
+    from lit_llama_ja_tpu.cli.generate_cli import load_model_any
+    from lit_llama_ja_tpu.infer.serving import Engine
+    from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
+
+    params, config = load_model_any(Path(checkpoint_path), quantize)
+    tok_path = Path(tokenizer_path)
+    tokenizer = (
+        Tokenizer(tok_path) if tok_path.suffix == ".model" else HFTokenizer(tok_path)
+    )
+
+    if prompts_file:
+        prompts = [
+            line.strip()
+            for line in Path(prompts_file).read_text().splitlines()
+            if line.strip()
+        ]
+    else:
+        prompts = [prompt] * n_requests
+
+    engine = Engine(
+        params, config,
+        max_batch=max_batch, max_seq_length=max_seq_length,
+        quantize_kv=quantize_kv, eos_id=tokenizer.eos_id, seed=seed,
+    )
+    requests = [
+        (tokenizer.encode(p, bos=True, eos=False), max_new_tokens) for p in prompts
+    ]
+
+    t0 = time.perf_counter()
+    rids = [
+        engine.add_request(ids, max_new_tokens, temperature=temperature, top_k=top_k)
+        for ids, _ in requests
+    ]
+    n_tokens = 0
+    pending = set(rids)
+    texts = {}
+    reqs_by_id = {}
+    while pending:
+        emitted = engine.step()
+        for r in list(engine.queue) + [r for r in engine.slot_req if r is not None]:
+            reqs_by_id[r.req_id] = r
+        for rid, tok, done in emitted:
+            n_tokens += 1
+            if done and rid in pending:
+                pending.discard(rid)
+                req = reqs_by_id[rid]
+                texts[rid] = tokenizer.decode(
+                    np.concatenate([req.prompt, np.asarray(req.tokens, np.int32)])
+                )
+        # requests can also retire during admission (eos on first token)
+        for rid, req in reqs_by_id.items():
+            if req.done and rid in pending:
+                pending.discard(rid)
+                texts[rid] = tokenizer.decode(
+                    np.concatenate([req.prompt, np.asarray(req.tokens, np.int32)])
+                )
+    dt = time.perf_counter() - t0
+
+    for rid in sorted(texts):
+        print(f"--- request {rid} ---")
+        print(texts[rid])
+    print(
+        f"\n{len(rids)} requests, {n_tokens} tokens in {dt:.2f}s "
+        f"-> {n_tokens / dt:.1f} tokens/s aggregate",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    from lit_llama_ja_tpu.utils.cli import CLI
+
+    CLI(main)

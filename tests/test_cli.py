@@ -10,6 +10,7 @@ REPO = Path(__file__).parent.parent
 
 SCRIPTS = [
     "generate.py",
+    "serve.py",
     "generate/full.py",
     "generate/lora.py",
     "generate/adapter.py",
