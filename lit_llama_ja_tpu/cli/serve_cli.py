@@ -57,45 +57,35 @@ def main(
         max_batch=max_batch, max_seq_length=max_seq_length,
         quantize_kv=quantize_kv, eos_id=tokenizer.eos_id, seed=seed,
     )
-    requests = [
-        (tokenizer.encode(p, bos=True, eos=False), max_new_tokens) for p in prompts
-    ]
+    encoded = []
+    for p in prompts:
+        ids = tokenizer.encode(p, bos=True, eos=False)
+        if len(ids) >= max_seq_length:
+            print(
+                f"skipping prompt of {len(ids)} tokens (cache holds {max_seq_length})",
+                file=sys.stderr,
+            )
+            continue
+        encoded.append(ids)
+    if not encoded:
+        print("no valid prompts", file=sys.stderr)
+        return
 
     t0 = time.perf_counter()
-    rids = [
-        engine.add_request(ids, max_new_tokens, temperature=temperature, top_k=top_k)
-        for ids, _ in requests
-    ]
-    n_tokens = 0
-    pending = set(rids)
-    texts = {}
-    reqs_by_id = {}
-    while pending:
-        emitted = engine.step()
-        for r in list(engine.queue) + [r for r in engine.slot_req if r is not None]:
-            reqs_by_id[r.req_id] = r
-        for rid, tok, done in emitted:
-            n_tokens += 1
-            if done and rid in pending:
-                pending.discard(rid)
-                req = reqs_by_id[rid]
-                texts[rid] = tokenizer.decode(
-                    np.concatenate([req.prompt, np.asarray(req.tokens, np.int32)])
-                )
-        # requests can also retire during admission (eos on first token)
-        for rid, req in reqs_by_id.items():
-            if req.done and rid in pending:
-                pending.discard(rid)
-                texts[rid] = tokenizer.decode(
-                    np.concatenate([req.prompt, np.asarray(req.tokens, np.int32)])
-                )
+    outputs = engine.run(
+        [(ids, max_new_tokens) for ids in encoded],
+        temperature=temperature, top_k=top_k,
+    )
     dt = time.perf_counter() - t0
 
-    for rid in sorted(texts):
+    n_tokens = 0
+    for rid in sorted(outputs):
+        prompt_len = len(encoded[rid])
+        n_tokens += len(outputs[rid]) - prompt_len
         print(f"--- request {rid} ---")
-        print(texts[rid])
+        print(tokenizer.decode(outputs[rid]))
     print(
-        f"\n{len(rids)} requests, {n_tokens} tokens in {dt:.2f}s "
+        f"\n{len(outputs)} requests, {n_tokens} tokens in {dt:.2f}s "
         f"-> {n_tokens / dt:.1f} tokens/s aggregate",
         file=sys.stderr,
     )

@@ -336,26 +336,24 @@ class Engine:
             emitted.append((req.req_id, tok, req.done))
         return emitted
 
-    def run(self, requests: List[Tuple[np.ndarray, int]]) -> Dict[int, np.ndarray]:
-        """Convenience: submit (prompt, max_new_tokens) pairs, run to completion."""
-        all_reqs = {}
+    def run(
+        self,
+        requests: List[Tuple[np.ndarray, int]],
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+    ) -> Dict[int, np.ndarray]:
+        """Convenience: submit (prompt, max_new_tokens) pairs, run to completion.
+
+        Returns {req_id: prompt+generated}. Requests are remembered at submission
+        (NOT after the first step — a request can retire during admission)."""
+        reqs_by_id: Dict[int, _Request] = {}
         for prompt, mnt in requests:
-            rid = self.add_request(prompt, mnt)
-            all_reqs[rid] = None
-        pending = dict(all_reqs)
+            rid = self.add_request(prompt, mnt, temperature=temperature, top_k=top_k)
+            reqs_by_id[rid] = self.queue[-1]
         finished: Dict[int, np.ndarray] = {}
-        reqs_by_id = {}
-
-        # track request objects for output assembly
-        def remember():
-            for r in self.queue + [r for r in self.slot_req if r is not None]:
-                reqs_by_id[r.req_id] = r
-
-        remember()
-        while len(finished) < len(all_reqs):
+        while len(finished) < len(reqs_by_id):
             self.step()
-            remember()
-            for rid, req in list(reqs_by_id.items()):
+            for rid, req in reqs_by_id.items():
                 if req.done and rid not in finished:
                     finished[rid] = np.concatenate(
                         [req.prompt, np.asarray(req.tokens, np.int32)]

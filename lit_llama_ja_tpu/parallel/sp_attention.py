@@ -17,13 +17,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
 def _offset_causal_sdpa(q, k, v, row_offset):
     """Causal attention where q rows sit at global positions row_offset..+Tq."""
-    B, nh, Tq, hd = q.shape
+    Tq, hd = q.shape[2], q.shape[3]
     S = k.shape[2]
     scale = 1.0 / (hd**0.5)
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
