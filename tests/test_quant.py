@@ -165,6 +165,23 @@ def test_gptq_pipeline_end_to_end(rng):
     assert np.abs(base - quant).max() < 0.2 * (np.abs(base).max() + 1)
 
 
+def test_gptq_grouped_pipeline_end_to_end(rng):
+    """Grouped scales (groupsize != -1) through the full calibrate->infer path."""
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    calib = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(2, 16)), jnp.int32)
+    qparams = gptq_quantize_model(
+        params, CFG, calib, bits=4, groupsize=8, micro_batch=2, progress=False
+    )
+    # n_embd=16, groupsize=8 -> 2 scale groups on the qkv projection
+    assert qparams["blocks"]["attn"]["c_attn"]["scales"].shape == (
+        CFG.n_layer, 2, 3 * CFG.n_embd,
+    )
+    idx = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 8)), jnp.int32)
+    base = np.asarray(forward(params, idx, CFG))
+    quant = np.asarray(forward(qparams, idx, CFG))
+    assert np.abs(base - quant).max() < 0.25 * (np.abs(base).max() + 1)
+
+
 def test_gptq_int4_pipeline_packs(rng):
     params = init_params(jax.random.PRNGKey(2), CFG)
     calib = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(2, 16)), jnp.int32)
