@@ -4,11 +4,15 @@ across hosts with tensor-sharded int4 weights and int8 KV-cache").
 The reference has no serving layer at all (single-prompt `generate.py`); this is a
 new capability. Design:
 
-  * One shared stacked KV cache ``(L, max_batch, nh, S, hd)`` (optionally INT8).
-  * Each slot tracks its own position; the jitted `~_batched_decode_step` writes
-    per-slot via an aligned scatter (``cache.at[:, arange(B), :, pos]``) and masks
-    attention per-slot — no `lax.cond` roll-eviction in the hot loop (slots are
-    pre-sized; sequences hitting the cap finish).
+  * One shared stacked KV cache in serving layout ``(L, max_batch, S, nh, hd)``
+    (optionally INT8) — batch and slot axes leading and adjacent, so per-slot
+    writes are clean row scatters (``cache.at[arange(B), pos]``), no relayout.
+  * Each slot tracks its own position; attention masks per-slot — no `lax.cond`
+    roll-eviction in the hot loop (slots are pre-sized; sequences at the cap
+    finish).
+  * Per-slot sampling (temperature array, engine-wide top_k) is FUSED into the
+    decode program: host-side ops between chained jitted steps cost ~50 ms on
+    the remote platform (PERF.md), so only B int32 tokens cross per step.
   * New requests are admitted into free slots and prefilled individually
     (bucketed-length jit, same trick as `infer/generate`); decode then proceeds
     for all active slots in ONE batched step per token.

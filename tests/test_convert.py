@@ -85,6 +85,56 @@ def test_npz_state_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(back["c"], tree["c"])
 
 
+def test_lora_checkpoint_conversion(rng):
+    """Reference-layout torch LoRA state -> grouped leaves: the converted branch
+    must reproduce the reference's conv1d-grouped forward math."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from lit_llama_ja_tpu.io.convert import lora_checkpoint_to_native
+    from lit_llama_ja_tpu.models.lora import lora_branch
+
+    cfg = LLaMAConfig(block_size=16, vocab_size=32, n_layer=2, n_head=2, n_embd=8)
+    D, r, g, alpha = cfg.n_embd, 2, 2, 4.0
+    sd = {}
+    rng_t = torch.Generator().manual_seed(0)
+    for i in range(cfg.n_layer):
+        sd[f"transformer.h.{i}.attn.c_attn.lora_A"] = torch.randn(
+            g * r, D, generator=rng_t
+        )
+        sd[f"transformer.h.{i}.attn.c_attn.lora_B"] = torch.randn(
+            g * D, r, generator=rng_t
+        )
+    leaves = lora_checkpoint_to_native(sd, cfg, alpha=alpha)
+    assert leaves["lora_A"].shape == (cfg.n_layer, D, g * r)
+    assert leaves["lora_B"].shape == (cfg.n_layer, g, r, D)
+
+    x = torch.randn(1, 5, D, generator=rng_t)
+    for i in range(cfg.n_layer):
+        # reference forward math (lit_llama/lora.py:310-323): x@A^T -> grouped
+        # conv1d with B -> zero-pad into [q, 0, v] sections -> * alpha/r
+        A, B = sd[f"transformer.h.{i}.attn.c_attn.lora_A"], sd[
+            f"transformer.h.{i}.attn.c_attn.lora_B"
+        ]
+        after_A = F.linear(x, A)  # (1, 5, g*r)
+        after_B = F.conv1d(
+            after_A.transpose(-2, -1), B.unsqueeze(-1), groups=g
+        ).transpose(-2, -1)  # (1, 5, g*D)
+        want = torch.zeros(1, 5, 3 * D)
+        want[..., :D] = after_B[..., :D]  # q section
+        want[..., 2 * D :] = after_B[..., D:]  # v section
+        want = (want * (alpha / r)).numpy()
+
+        leaf = {
+            "weight": jnp.zeros((D, 3 * D)),
+            "lora_A": leaves["lora_A"][i],
+            "lora_B": leaves["lora_B"][i],
+            "lora_alpha": leaves["lora_alpha"][i],
+        }
+        got = np.asarray(lora_branch(leaf, jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_hf_golden_logit_parity(rng):
     """Convert a tiny random HF LlamaForCausalLM and require logit agreement —
