@@ -6,6 +6,8 @@ Axes:
   * ``fsdp`` — parameter/optimizer sharding (the ZeRO-1/2/3 + FSDP equivalents all
                collapse into this one sharding axis on TPU).
   * ``tp``   — tensor parallel over attention heads / MLP hidden, rides ICI.
+  * ``pp``   — pipeline parallel over the stacked layer axis (only present when
+               requested with ``pp > 1``; see `parallel/pipeline.py`).
 
 For multi-host: call `jax.distributed.initialize()` before `make_mesh`; the mesh is
 built over the global device list, so the same program runs 1-chip to multi-pod.
@@ -41,20 +43,28 @@ def make_mesh(
     dp: int = 1,
     fsdp: int = -1,
     tp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('dp', 'fsdp', 'tp') mesh; one axis may be -1 (inferred)."""
+    """Build a ('dp', 'fsdp', 'tp'[, 'pp']) mesh; one axis may be -1 (inferred).
+
+    The 'pp' axis is appended only when ``pp > 1`` so all non-pipeline codepaths
+    see the unchanged 3-axis mesh. 'pp' is placed innermost: pipeline
+    stage-boundary ppermutes are point-to-point and benefit most from ICI
+    adjacency.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    dims = [dp, fsdp, tp]
+    dims = [dp, fsdp, tp] + ([pp] if pp > 1 else [])
+    axes = AXES + (("pp",) if pp > 1 else ())
     if -1 in dims:
         known = int(np.prod([d for d in dims if d != -1]))
         assert n % known == 0, f"{n} devices not divisible by {known}"
         dims[dims.index(-1)] = n // known
     assert int(np.prod(dims)) == n, f"mesh {dims} != {n} devices"
     dev_array = np.asarray(devices).reshape(dims)
-    return Mesh(dev_array, AXES)
+    return Mesh(dev_array, axes)
 
 
 def single_device_mesh() -> Mesh:

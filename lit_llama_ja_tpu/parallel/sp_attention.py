@@ -8,8 +8,9 @@ q-rows' causal attention with a global row offset.
 
 Memory per device: O(T·hd/n) activations + the gathered k/v (O(T·hd)); attention
 scores are only materialized for the local q-slice (O(T²/n)) — the quadratic term
-shards. A ring/blockwise variant (never materializing full k/v) is the natural next
-step behind the same signature.
+shards. The ring variant (`impl="ring"` → `ring_attention.ring_attention`) never
+materializes full k/v: blocks travel the ring via ppermute and fold into an
+online-softmax accumulator, making per-device memory O(T/n).
 """
 from __future__ import annotations
 
@@ -35,14 +36,27 @@ def _offset_causal_sdpa(q, k, v, row_offset):
 
 
 def sequence_parallel_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh, axis: str = "tp"
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis: str = "tp",
+    impl: str = "allgather",
 ) -> jax.Array:
     """Causal attention with q/k/v sequence-sharded over ``axis``.
 
     Args:
       q, k, v: ``(B, n_head, T, head_dim)`` with T divisible by the axis size.
+      impl: ``"allgather"`` (k/v gathered per device, O(T) k/v memory) or
+        ``"ring"`` (k/v blocks streamed via ppermute, O(T/n) memory).
     Returns the attention output with the same (sequence-sharded) layout.
     """
+    if impl == "ring":
+        from lit_llama_ja_tpu.parallel.ring_attention import ring_attention
+
+        return ring_attention(q, k, v, mesh, axis=axis)
+    if impl != "allgather":
+        raise ValueError(f"unknown sequence-parallel impl {impl!r}")
     n = mesh.shape[axis]
     T = q.shape[2]
     assert T % n == 0, (T, n)

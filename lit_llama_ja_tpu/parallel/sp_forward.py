@@ -27,19 +27,22 @@ from lit_llama_ja_tpu.ops.rope import apply_rope, build_rope_cache
 from lit_llama_ja_tpu.parallel.sp_attention import sequence_parallel_attention
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def forward_sp(
     params,
     idx: jax.Array,  # (B, T), T divisible by the axis size
     config: LLaMAConfig,
     mesh: Mesh,
     axis: str = "tp",
+    attn_impl: str = "allgather",
 ) -> jax.Array:
     """Full-sequence forward with sequence-parallel attention.
 
     Semantically identical to `models.llama.forward` (same weights, same math) but
     T may exceed ``config.block_size`` — the RoPE table is built out to T — and
-    every attention shards its score matrix over ``axis``.
+    every attention shards its score matrix over ``axis``. ``attn_impl="ring"``
+    streams k/v blocks around the ring (O(T/n) per-device attention memory)
+    instead of all-gathering them.
     """
     B, T = idx.shape
     n = mesh.shape[axis]
@@ -59,7 +62,7 @@ def forward_sp(
         q = apply_rope(q.reshape(B, T, nh, hd), rope).transpose(0, 2, 1, 3)
         k = apply_rope(k.reshape(B, T, nh, hd), rope).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-        y = sequence_parallel_attention(q, k, v, mesh, axis=axis)
+        y = sequence_parallel_attention(q, k, v, mesh, axis=axis, impl=attn_impl)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, config.n_embd)
         x = x + apply_linear(block_params["attn"]["c_proj"], y)
         h2 = rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps)
