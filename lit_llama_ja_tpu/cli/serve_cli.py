@@ -23,6 +23,9 @@ def main(
     quantize: Optional[str] = None,
     quantize_kv: bool = True,
     max_seq_length: int = 2048,
+    paged: bool = False,
+    page_size: int = 16,
+    n_pages: int = 0,
     seed: int = 1234,
 ) -> None:
     """Serve a batch of prompts with continuous batching.
@@ -32,8 +35,14 @@ def main(
             ``n_requests`` times.
         quantize: None | "llm.int8" | "gptq.int4" | "gptq.int8" (weights).
         quantize_kv: INT8 KV cache (halves decode cache traffic).
+        paged: page-pool KV cache (`infer/paged.py`) — shared memory budget with
+            admission backpressure and preemption instead of per-slot stripes.
+        page_size: tokens per page (paged only).
+        n_pages: KV pool size in pages; 0 -> the dense equivalent
+            ``max_batch * max_seq_length / page_size`` (paged only).
     """
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
+    from lit_llama_ja_tpu.infer.paged import PagedEngine
     from lit_llama_ja_tpu.infer.serving import Engine
     from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
 
@@ -52,11 +61,20 @@ def main(
     else:
         prompts = [prompt] * n_requests
 
-    engine = Engine(
-        params, config,
-        max_batch=max_batch, max_seq_length=max_seq_length,
-        quantize_kv=quantize_kv, eos_id=tokenizer.eos_id, seed=seed,
-    )
+    if paged:
+        pool_pages = n_pages or (max_batch * max_seq_length) // page_size + 1
+        engine = PagedEngine(
+            params, config,
+            max_batch=max_batch, n_pages=pool_pages, page_size=page_size,
+            max_pages_per_slot=max(1, max_seq_length // page_size),
+            quantize_kv=quantize_kv, eos_id=tokenizer.eos_id, seed=seed,
+        )
+    else:
+        engine = Engine(
+            params, config,
+            max_batch=max_batch, max_seq_length=max_seq_length,
+            quantize_kv=quantize_kv, eos_id=tokenizer.eos_id, seed=seed,
+        )
     encoded = []
     for p in prompts:
         ids = tokenizer.encode(p, bos=True, eos=False)

@@ -1,0 +1,568 @@
+"""Paged KV cache + paged continuous-batching engine.
+
+`infer/serving.py`'s Engine reserves a full ``max_seq`` stripe of cache per slot —
+the reference's own semantics (prompts capped at block_size, `lit_llama/model.py:92-94`)
+but wasteful under mixed-length serving. Here the cache is a **page pool**:
+
+  * Pool: ``(L, n_pages, page_size, nh, hd)`` (bf16 or INT8+scales) — KV memory is
+    a shared budget, not a per-slot reservation.
+  * Each slot holds a **page table** ``(maxP,)`` of pool indices; position ``p``
+    lives at ``(table[p // page], p % page)``. Tables are tiny int32 arrays the
+    host updates only when a slot crosses a page boundary.
+  * **Page 0 is the trash page**: prefill padding and unallocated table entries
+    point at it; writes land harmlessly and reads of it are position-masked.
+  * Attention gathers a slot's pages back into a contiguous view — the gather IS
+    the cache read (same HBM bytes as the dense layout), with the attended width
+    bucketed per step (power-of-two pages) so short sequences never stream the
+    whole table width.
+  * **Prefix sharing**: a registered prompt prefix's *full* pages are inserted
+    into any request's table by reference (refcounted, read-only — per-slot
+    writes always target positions past the shared span); only the remainder
+    re-prefills. N requests over a common system prompt hold ONE copy of its KV.
+
+The prompt-length cap becomes ``maxP·page − 1`` (table width, default well past
+block_size) instead of the slot stripe; admission simply waits when the pool has
+no free pages (real memory backpressure instead of OOM).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.infer.generate import bucket_length
+from lit_llama_ja_tpu.models.llama import apply_linear, mlp_block
+from lit_llama_ja_tpu.ops.attention import quantize_kv
+from lit_llama_ja_tpu.ops.norms import rmsnorm
+from lit_llama_ja_tpu.ops.rope import build_rope_cache
+from lit_llama_ja_tpu.ops.sampling import sample_token
+
+PagePool = Dict[str, jax.Array]
+
+
+def init_page_pool(
+    config: LLaMAConfig,
+    n_pages: int,
+    page_size: int,
+    dtype=jnp.bfloat16,
+    quantized: bool = False,
+) -> PagePool:
+    """Zero page pool ``(L, n_pages, page_size, nh, hd)`` (+ scales if INT8).
+
+    ``n_pages`` includes the reserved trash page 0; usable KV budget is
+    ``(n_pages − 1) · page_size`` tokens across all slots.
+    """
+    shape = (
+        config.n_layer, n_pages, page_size, config.n_head, config.head_dim
+    )
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.ones(sshape, jnp.float32),
+            "v_scale": jnp.ones(sshape, jnp.float32),
+        }
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _gathered(cache_l: Dict[str, jax.Array], tables: jax.Array):
+    """Gather pages into per-slot contiguous views.
+
+    cache_l leaves ``(n_pages, page, nh, ...)``; tables ``(B, AP)`` →
+    ``(B, AP·page, nh, ...)``.
+    """
+    B, AP = tables.shape
+    out = {}
+    for key, val in cache_l.items():
+        g = val[tables]  # (B, AP, page, nh, x)
+        out[key] = g.reshape(B, AP * val.shape[1], *g.shape[3:])
+    return out
+
+
+def _paged_attention(q, gath, pos, quantized):
+    """q: (B, nh, T, hd); gath leaves (B, S, nh, hd) (S = AP·page);
+    pos: (B, T) absolute positions of the query tokens. Same masked-softmax /
+    folded-scale math as `serving._slot_attention`, generalized to T query
+    tokens (prefill) and per-(slot, token) positions."""
+    S = gath["k"].shape[1]
+    slot = jnp.arange(S, dtype=pos.dtype)
+    mask = (slot[None, None, :] <= pos[:, :, None])[:, None]  # (B, 1, T, S)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    if quantized:
+        att = jnp.einsum("bhqd,bshd->bhqs", q, gath["k"].astype(q.dtype))
+        att = att * gath["k_scale"][..., 0].transpose(0, 2, 1)[:, :, None, :].astype(
+            jnp.float32
+        )
+        att = jnp.where(mask, att * scale, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1)
+        att = att * gath["v_scale"][..., 0].transpose(0, 2, 1)[:, :, None, :]
+        return jnp.einsum(
+            "bhqs,bshd->bhqd", att.astype(q.dtype), gath["v"].astype(q.dtype)
+        )
+    att = jnp.einsum("bhqd,bshd->bhqs", q, gath["k"].astype(q.dtype)) * scale
+    att = jnp.where(mask, att.astype(jnp.float32), -jnp.inf)
+    att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqs,bshd->bhqd", att, gath["v"].astype(q.dtype))
+
+
+@partial(
+    jax.jit, static_argnames=("config", "quantized"), donate_argnums=(4,)
+)
+def paged_forward(
+    params,
+    toks: jax.Array,  # (B, T) int32 tokens (T=1 decode, T=P prefill)
+    pos: jax.Array,  # (B, T) int32 absolute positions of those tokens
+    tables: jax.Array,  # (B, AP) int32 page indices (attend width AP·page)
+    pool: PagePool,
+    config: LLaMAConfig,
+    quantized: bool,
+) -> Tuple[jax.Array, PagePool]:
+    """One paged forward: write each token's k/v at ``(table[pos//page], pos%page)``,
+    attend against the gathered pages (write-then-attend, so a slot's own new
+    tokens are visible to themselves), return (logits (B, T, V), pool).
+
+    Unifies batched decode (T=1, B slots) and prefill (B=1, T tokens) — one
+    compiled body for the whole serving engine.
+    """
+    B, T = toks.shape
+    page = pool["k"].shape[2]
+    nh, hd = config.n_head, config.head_dim
+    # rope table extends to the table capacity (beyond block_size = position
+    # extrapolation, same policy as parallel/sp_forward)
+    rope_len = max(config.block_size, tables.shape[1] * page)
+    rope_full = build_rope_cache(rope_len, config.head_dim, config.rope_base)
+    rope_t = rope_full[jnp.clip(pos, 0, rope_len - 1)]  # (B, T, hd/2, 2)
+    x = params["wte"]["weight"][toks]  # (B, T, D)
+
+    page_idx = jnp.take_along_axis(tables, pos // page, axis=1)  # (B, T)
+    offs = pos % page
+
+    def rot(t):
+        # per-(slot, token) rope rotation: t (B, T, nh, hd), rope_t (B, T, hd/2, 2)
+        t32 = t.astype(jnp.float32).reshape(B, T, nh, hd // 2, 2)
+        rc = rope_t.astype(jnp.float32)[:, :, None]  # (B, T, 1, hd/2, 2)
+        cos, sin = rc[..., 0], rc[..., 1]
+        x0, x1 = t32[..., 0], t32[..., 1]
+        out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)
+        return out.reshape(B, T, nh, hd).astype(t.dtype)
+
+    def body(x, layer_in):
+        block_params, cache_l = layer_in
+        h = rmsnorm(x, block_params["rms_1"]["scale"], config.norm_eps)
+        qkv = apply_linear(block_params["attn"]["c_attn"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = rot(q.reshape(B, T, nh, hd))
+        k = rot(k.reshape(B, T, nh, hd))
+        v = v.reshape(B, T, nh, hd)
+
+        if quantized:
+            # quantize_kv reduces over the trailing hd axis only — works on the
+            # (B, T, nh, hd) layout directly
+            kq, ks, vq, vs = quantize_kv(k, v)
+            writes = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+        else:
+            writes = {"k": k.astype(cache_l["k"].dtype),
+                      "v": v.astype(cache_l["v"].dtype)}
+        # scatter the (B, T) new entries into their pages
+        cache_l = {
+            key: cache_l[key].at[page_idx, offs].set(val)
+            for key, val in writes.items()
+        }
+        gath = _gathered(cache_l, tables)
+        y = _paged_attention(q.transpose(0, 2, 1, 3), gath, pos, quantized)
+        y = y.transpose(0, 2, 1, 3).reshape(B, T, config.n_embd)
+        x = x + apply_linear(block_params["attn"]["c_proj"], y)
+        x = x + mlp_block(
+            block_params["mlp"],
+            rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps),
+        )
+        return x, cache_l
+
+    x, new_pool = jax.lax.scan(body, x, (params["blocks"], pool))
+    x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
+    logits = apply_linear(params["lm_head"], x)
+    return logits, new_pool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "quantized", "top_k"),
+    donate_argnums=(4,),
+)
+def _paged_decode_and_sample(
+    params,
+    toks: jax.Array,  # (B,)
+    pos: jax.Array,  # (B,)
+    tables: jax.Array,  # (B, AP)
+    pool: PagePool,
+    key: jax.Array,
+    temps: jax.Array,  # (B,)
+    config: LLaMAConfig,
+    quantized: bool,
+    top_k: Optional[int],
+) -> Tuple[jax.Array, PagePool]:
+    """Batched decode step + per-slot sampling in ONE device program (the host
+    moves only B int32 tokens per step — PERF.md's ~50 ms host-gap lesson)."""
+    logits, pool = paged_forward(
+        params, toks[:, None], pos[:, None], tables, pool, config, quantized
+    )
+    logits = logits[:, 0].astype(jnp.float32)
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
+        sample_logits = jnp.where(logits < kth, -jnp.inf, logits)
+    else:
+        sample_logits = logits
+    safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
+    sampled = jax.random.categorical(key, sample_logits / safe_t, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+    return nxt, pool
+
+
+@dataclasses.dataclass
+class _PagedRequest:
+    req_id: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    temperature: float
+    top_k: Optional[int]
+    prefix_id: Optional[int] = None
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    done: bool = False
+    preempts: int = 0
+
+
+class PagedEngine:
+    """Continuous-batching engine over a paged KV pool with prefix sharing."""
+
+    def __init__(
+        self,
+        params,
+        config: LLaMAConfig,
+        *,
+        max_batch: int = 8,
+        n_pages: int = 256,
+        page_size: int = 16,
+        max_pages_per_slot: Optional[int] = None,
+        quantize_kv: bool = False,
+        eos_id: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.config = config
+        self.B = max_batch
+        self.page = page_size
+        self.n_pages = n_pages
+        self.maxP = max_pages_per_slot or max(
+            1, (2 * config.block_size) // page_size
+        )
+        self.quantized = quantize_kv
+        self.eos_id = eos_id
+        self.pool = init_page_pool(
+            config, n_pages, page_size, jnp.bfloat16, quantize_kv
+        )
+        # host-side allocator state; page 0 is the reserved trash page
+        self.free: List[int] = list(range(n_pages - 1, 0, -1))
+        self.page_refs = np.zeros(n_pages, np.int32)
+        self.tables = np.zeros((max_batch, self.maxP), np.int32)
+        self.n_owned = np.zeros(max_batch, np.int32)  # table entries in use
+        self.n_shared = np.zeros(max_batch, np.int32)  # leading shared (read-only)
+        self.pos = np.zeros(max_batch, np.int32)
+        self.cur = np.zeros(max_batch, np.int32)
+        self.temps = np.zeros(max_batch, np.float32)
+        self.top_k: Optional[int] = None
+        self.slot_req: List[Optional[_PagedRequest]] = [None] * max_batch
+        self.queue: List[_PagedRequest] = []
+        self._next_id = 0
+        self._prefixes: Dict[int, Tuple[List[int], np.ndarray]] = {}
+        self._next_prefix = 0
+        self.key = jax.random.PRNGKey(seed)
+
+    # -- allocator ---------------------------------------------------------
+    def _alloc(self, n: int) -> Optional[List[int]]:
+        if len(self.free) < n:
+            return None
+        pages = [self.free.pop() for _ in range(n)]
+        self.page_refs[pages] = 1
+        return pages
+
+    def _release(self, pages) -> None:
+        for p in pages:
+            if p == 0:
+                continue
+            self.page_refs[p] -= 1
+            if self.page_refs[p] == 0:
+                self.free.append(int(p))
+
+    def free_token_budget(self) -> int:
+        return len(self.free) * self.page
+
+    # -- prefix sharing ----------------------------------------------------
+    def register_prefix(self, prefix_tokens) -> Optional[int]:
+        """Prefill a shared prompt prefix ONCE; returns a prefix_id usable in
+        `add_request`. Only full pages are shared (the tail re-prefills per
+        request). Returns None if the pool lacks pages for it right now."""
+        toks = np.asarray(prefix_tokens, np.int32)
+        n_full = len(toks) // self.page
+        if n_full == 0:
+            pid = self._next_prefix
+            self._next_prefix += 1
+            self._prefixes[pid] = ([], toks)
+            return pid
+        pages = self._alloc(n_full)
+        if pages is None:
+            return None
+        shared_len = n_full * self.page
+        self._prefill_span(
+            toks[:shared_len], start_pos=0, table_pages=pages, want_logits=False
+        )
+        pid = self._next_prefix
+        self._next_prefix += 1
+        self._prefixes[pid] = (pages, toks[shared_len:])
+        return pid
+
+    def release_prefix(self, prefix_id: int) -> None:
+        pages, _ = self._prefixes.pop(prefix_id)
+        self._release(pages)
+
+    # -- requests ----------------------------------------------------------
+    def add_request(
+        self,
+        prompt,
+        max_new_tokens: int,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        prefix_id: Optional[int] = None,
+    ) -> int:
+        """Queue a request. With ``prefix_id``, ``prompt`` is the continuation
+        AFTER the registered prefix (the engine prepends the prefix tail)."""
+        req = _PagedRequest(
+            self._next_id, np.asarray(prompt, np.int32), max_new_tokens,
+            temperature, top_k, prefix_id,
+        )
+        self._next_id += 1
+        self.queue.append(req)
+        return req.req_id
+
+    def _prefill_span(self, toks, start_pos, table_pages, want_logits=True):
+        """Run prefill for ``toks`` at absolute positions ``start_pos..``, writing
+        into ``table_pages`` (plus trailing trash entries for padding)."""
+        T = len(toks)
+        P = bucket_length(T)
+        # attend width: all pages up to the end of the padded span, power-of-2
+        ap = bucket_length(
+            (start_pos + P + self.page - 1) // self.page, minimum=1
+        )
+        table = np.zeros(ap, np.int32)
+        usable = min(len(table_pages), ap)
+        table[:usable] = table_pages[:usable]
+        padded = np.zeros(P, np.int32)
+        padded[:T] = toks
+        pos = start_pos + np.arange(P, dtype=np.int32)
+        # positions of padding tokens beyond the allocated pages go to trash:
+        # their table entries are 0 already (trash), and attention masks them.
+        logits, self.pool = paged_forward(
+            self.params,
+            jnp.asarray(padded[None]),
+            jnp.asarray(pos[None]),
+            jnp.asarray(table[None]),
+            self.pool,
+            self.config,
+            self.quantized,
+        )
+        if want_logits:
+            return np.asarray(logits[0, T - 1])
+        return None
+
+    def _admit(self):
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            resuming = bool(req.tokens)  # preempted request being re-admitted
+            shared_pages: List[int] = []
+            tail = req.prompt
+            if req.prefix_id is not None:
+                spages, sprefix_tail = self._prefixes[req.prefix_id]
+                shared_pages = list(spages)
+                tail = np.concatenate([sprefix_tail, req.prompt])
+            if resuming:
+                # re-prefill everything written before preemption; the last
+                # sampled token becomes `cur` (it was never written to cache)
+                tail = np.concatenate(
+                    [tail, np.asarray(req.tokens[:-1], np.int32)]
+                )
+            shared_len = len(shared_pages) * self.page
+            total_len = shared_len + len(tail)
+            if total_len >= self.maxP * self.page:
+                self.queue.pop(0)
+                req.done = True
+                raise ValueError(
+                    f"prompt length {total_len} exceeds the table capacity "
+                    f"{self.maxP * self.page - 1}"
+                )
+            n_tail_pages = max(
+                0, (total_len + self.page) // self.page - len(shared_pages)
+            )  # pages covering tail tokens + at least 1 decode slot
+            own = self._alloc(n_tail_pages)
+            if own is None:
+                if not any(r is not None for r in self.slot_req):
+                    raise RuntimeError(
+                        f"page pool too small: request needs {n_tail_pages} pages "
+                        f"({total_len} tokens) with the whole pool free "
+                        f"({len(self.free)} of {self.n_pages - 1} pages)"
+                    )
+                return  # pool exhausted — head-of-line request waits (backpressure)
+            self.queue.pop(0)
+            self.tables[slot] = 0
+            self.tables[slot, : len(shared_pages)] = shared_pages
+            self.tables[slot, len(shared_pages) : len(shared_pages) + len(own)] = own
+            for p in shared_pages:
+                self.page_refs[p] += 1
+            self.n_owned[slot] = len(shared_pages) + len(own)
+            self.n_shared[slot] = len(shared_pages)
+            logits = self._prefill_span(
+                tail,
+                start_pos=shared_len,
+                table_pages=list(self.tables[slot, : self.n_owned[slot]]),
+                want_logits=not resuming,
+            )
+            req.slot = slot
+            self.slot_req[slot] = req
+            self.pos[slot] = total_len
+            self.temps[slot] = req.temperature
+            if resuming:
+                self.cur[slot] = req.tokens[-1]
+            else:
+                self.key, sub = jax.random.split(self.key)
+                tok = int(
+                    sample_token(sub, jnp.asarray(logits), req.temperature, req.top_k)
+                )
+                req.tokens.append(tok)
+                self.cur[slot] = tok
+            if req.top_k is not None:
+                self.top_k = req.top_k if self.top_k is None else self.top_k
+            self._maybe_finish(req)
+
+    def _retire(self, req: _PagedRequest):
+        slot = req.slot
+        # shared pages were ref-bumped at admit; owned pages drop to free
+        self._release(self.tables[slot, : self.n_owned[slot]])
+        self.tables[slot] = 0
+        self.n_owned[slot] = 0
+        self.n_shared[slot] = 0
+        self.slot_req[slot] = None
+        req.slot = None
+
+    def _maybe_finish(self, req: _PagedRequest):
+        hit_eos = (
+            self.eos_id is not None and req.tokens and req.tokens[-1] == self.eos_id
+        )
+        out_of_room = (
+            req.slot is not None and self.pos[req.slot] >= self.maxP * self.page - 1
+        )
+        if len(req.tokens) >= req.max_new_tokens or hit_eos or out_of_room:
+            req.done = True
+            if req.slot is not None:
+                self._retire(req)
+
+    def _ensure_capacity(self) -> bool:
+        """Make sure every active slot has a page for its next write position.
+        Returns False if the pool is exhausted (caller should retire/wait)."""
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            needed = int(self.pos[slot]) // self.page
+            if needed >= self.n_owned[slot]:
+                got = self._alloc(1)
+                if got is None:
+                    return False
+                self.tables[slot, needed] = got[0]
+                self.n_owned[slot] = needed + 1
+        return True
+
+    # -- stepping ----------------------------------------------------------
+    def step(self) -> List[Tuple[int, int, bool]]:
+        """Admit waiting requests, run one batched paged decode step."""
+        self._admit()
+        while not self._ensure_capacity():
+            # Out of pages mid-decode: preempt the longest request (free its
+            # pages, requeue at the head — FIFO admission makes it wait for
+            # capacity instead of stealing it back immediately). A request
+            # preempted repeatedly (pathologically sized pool) is truncated.
+            active = [r for r in self.slot_req if r is not None]
+            if not active:
+                return []
+            victim = max(active, key=lambda r: self.pos[r.slot])
+            self._retire(victim)
+            victim.preempts += 1
+            if victim.preempts > 3 or not victim.tokens:
+                victim.done = True
+            else:
+                self.queue.insert(0, victim)
+        active = [r for r in self.slot_req if r is not None]
+        if not active:
+            return []
+        # attend width bucket: pages needed by the longest active slot
+        max_pages = max(
+            int(self.pos[r.slot]) // self.page + 1 for r in active
+        )
+        ap = min(bucket_length(max_pages, minimum=1), self.maxP)
+        self.key, sub = jax.random.split(self.key)
+        nxt, self.pool = _paged_decode_and_sample(
+            self.params,
+            jnp.asarray(self.cur),
+            jnp.asarray(self.pos),
+            jnp.asarray(self.tables[:, :ap]),
+            self.pool,
+            sub,
+            jnp.asarray(self.temps),
+            self.config,
+            self.quantized,
+            self.top_k,
+        )
+        nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
+        emitted = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            tok = int(nxt[slot])
+            req.tokens.append(tok)
+            self.pos[slot] += 1
+            self.cur[slot] = tok
+            self._maybe_finish(req)
+            emitted.append((req.req_id, tok, req.done))
+        return emitted
+
+    def run(
+        self,
+        requests: List[Tuple[np.ndarray, int]],
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        prefix_id: Optional[int] = None,
+    ) -> Dict[int, np.ndarray]:
+        """Submit (prompt, max_new_tokens) pairs and run to completion; returns
+        {req_id: prompt+generated} (prompt excludes any shared prefix)."""
+        reqs_by_id: Dict[int, _PagedRequest] = {}
+        for prompt, mnt in requests:
+            rid = self.add_request(
+                prompt, mnt, temperature=temperature, top_k=top_k,
+                prefix_id=prefix_id,
+            )
+            reqs_by_id[rid] = self.queue[-1]
+        finished: Dict[int, np.ndarray] = {}
+        while len(finished) < len(reqs_by_id):
+            self.step()
+            for rid, req in reqs_by_id.items():
+                if req.done and rid not in finished:
+                    finished[rid] = np.concatenate(
+                        [req.prompt, np.asarray(req.tokens, np.int32)]
+                    )
+        return finished
