@@ -150,6 +150,9 @@ def main(
             batches = NativePackedBatches(
                 files, micro_batch_size, config.block_size + 1,
                 seed=seed + 1, wrap=True,
+                # data-loader resume (beyond the reference, which reshuffles
+                # from seed on restart): skip the already-consumed batches
+                skip_batches=restart_iter * grad_accum,
             )
             print("using native C++ packed reader")
         except Exception as e:  # pragma: no cover - build env without g++
@@ -158,7 +161,10 @@ def main(
         train_ds = create_dataset(
             train_data_dir, train_data_config, config.block_size + 1, seed=seed + 1
         )
-        batches = batch_iterator(train_ds, micro_batch_size)
+        ds_iter = iter(train_ds)
+        if restart_iter:
+            ds_iter.fast_forward(restart_iter * grad_accum * micro_batch_size)
+        batches = batch_iterator(ds_iter, micro_batch_size)
 
     validate_fn = None
     if val_data_dir:

@@ -48,7 +48,7 @@ def _load():
     lib.pr_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
         ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong,
     ]
     lib.pr_next.restype = ctypes.c_int
     lib.pr_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
@@ -81,6 +81,7 @@ class NativePackedBatches:
         num_processes: int = 1,
         process_rank: int = 0,
         prefetch_depth: int = 4,
+        skip_batches: int = 0,
     ):
         lib = _load()
         # shard files across processes (reference packed_dataset.py:48-56 math)
@@ -94,10 +95,13 @@ class NativePackedBatches:
         arr = (ctypes.c_char_p * len(self._files))(*self._files)
         self._batch = batch_size
         self._block = block_size
+        # skip_batches: data-loader resume — the producer replays the seeded
+        # shuffle and skips that many batches without reading payload bytes
         self._handle = lib.pr_create(
             arr, len(self._files), block_size,
             n_chunks if n_chunks is not None else len(self._files),
             seed, int(shuffle), int(wrap), batch_size, prefetch_depth,
+            skip_batches * batch_size,
         )
         self._lib = lib
         self._buf = np.empty((batch_size, block_size), np.int32)

@@ -188,6 +188,7 @@ class PackedDatasetIterator:
         self._buffers: List[memoryview] = []
         self._block_idxs = []
         self._curr_idx = 0
+        self._n_yielded = 0
         self._load_n_chunks()
 
     def _close_mmaps(self) -> None:
@@ -238,7 +239,23 @@ class PackedDatasetIterator:
             buffer, dtype=self._dtype, count=self._block_size, offset=offset
         )
         self._curr_idx += 1
+        self._n_yielded += 1
         return arr.astype(np.int64)
+
+    def fast_forward(self, n: int) -> None:
+        """Data-loader resume: advance ``n`` samples without reading payload
+        bytes — the seeded shuffle replays, only the block cursor moves.
+        (The reference cannot do this: its restart reshuffles from the seed and
+        re-reads the stream from iteration 0, SURVEY.md §5 "data-loader position
+        is not restored".)"""
+        for _ in range(n):
+            if self._curr_idx >= len(self._block_idxs):
+                self._load_n_chunks()
+            self._curr_idx += 1
+            self._n_yielded += 1
+
+    def state_dict(self) -> dict:
+        return {"n_yielded": self._n_yielded}
 
 
 class CombinedDataset:
@@ -259,13 +276,31 @@ class CombinedDatasetIterator:
         self._datasets = [iter(d) for d in datasets]
         self._weights = weights
         self._rng = random.Random(seed)
+        self._n_yielded = 0
 
     def __iter__(self):
         return self
 
     def __next__(self) -> np.ndarray:
         (dataset,) = self._rng.choices(self._datasets, weights=self._weights, k=1)
+        self._n_yielded += 1
         return next(dataset)
+
+    def fast_forward(self, n: int) -> None:
+        """Replay ``n`` mixture draws, fast-forwarding each chosen sub-iterator
+        (no payload reads for PackedDatasetIterator members)."""
+        for _ in range(n):
+            (dataset,) = self._rng.choices(
+                self._datasets, weights=self._weights, k=1
+            )
+            self._n_yielded += 1
+            if hasattr(dataset, "fast_forward"):
+                dataset.fast_forward(1)
+            else:
+                next(dataset)
+
+    def state_dict(self) -> dict:
+        return {"n_yielded": self._n_yielded}
 
 
 def batch_iterator(

@@ -105,6 +105,7 @@ struct Reader {
   bool wrap = false;
   int batch = 1;
   int prefetch_depth = 4;
+  uint64_t skip_rows = 0;  // data-loader resume: rows to fast-forward at start
 
   // iteration state (owned by the producer thread)
   size_t file_idx = 0;
@@ -172,12 +173,29 @@ struct Reader {
     return true;
   }
 
+  // advance the block cursor one row without touching payload bytes (resume
+  // fast-forward: replays the same seeded shuffle, skips the reads)
+  bool skip_row() {
+    if (order_pos >= block_order.size()) {
+      if (!load_window()) return false;
+    }
+    order_pos++;
+    return true;
+  }
+
   void produce() {
     rng.seed(seed);
     if (!load_window()) {
       done = true;
       cv_ready.notify_all();
       return;
+    }
+    for (uint64_t i = 0; i < skip_rows && !stop; i++) {
+      if (!skip_row()) {
+        done = true;
+        cv_ready.notify_all();
+        return;
+      }
     }
     while (!stop) {
       std::vector<int32_t> buf((size_t)batch * block_size);
@@ -218,7 +236,7 @@ extern "C" {
 
 void* pr_create(const char** filenames, int n_files, long block_size, int n_chunks,
                 unsigned long long seed, int shuffle, int wrap, int batch,
-                int prefetch_depth) {
+                int prefetch_depth, unsigned long long skip_rows) {
   auto* r = new Reader();
   for (int i = 0; i < n_files; i++) r->files.emplace_back(filenames[i]);
   r->block_size = block_size;
@@ -228,6 +246,7 @@ void* pr_create(const char** filenames, int n_files, long block_size, int n_chun
   r->wrap = wrap != 0;
   r->batch = batch;
   r->prefetch_depth = prefetch_depth;
+  r->skip_rows = skip_rows;
   r->start();
   return r;
 }
