@@ -52,16 +52,21 @@ def init_page_pool(
     dtype=jnp.bfloat16,
     quantized: bool = False,
 ) -> PagePool:
-    """Zero page pool ``(L, n_pages, page_size, nh, hd)`` (+ scales if INT8).
+    """Zero page pool ``(L, n_pages, nh, page_size, hd)`` (+ per-token scales
+    ``(L, n_pages, nh, page_size)`` if INT8).
+
+    Heads-major layout: a page block ``(nh, page, hd)`` feeds both the XLA
+    einsum path (matches `decode_attention`'s ``bhsd``) and the Pallas decode
+    kernel (`ops/pallas/paged_attention.py`) without any relayout.
 
     ``n_pages`` includes the reserved trash page 0; usable KV budget is
     ``(n_pages − 1) · page_size`` tokens across all slots.
     """
     shape = (
-        config.n_layer, n_pages, page_size, config.n_head, config.head_dim
+        config.n_layer, n_pages, config.n_head, page_size, config.head_dim
     )
     if quantized:
-        sshape = shape[:-1] + (1,)
+        sshape = shape[:-1]
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
@@ -72,47 +77,49 @@ def init_page_pool(
 
 
 def _gathered(cache_l: Dict[str, jax.Array], tables: jax.Array):
-    """Gather pages into per-slot contiguous views.
+    """Gather pages into per-slot contiguous ``bhsd`` views.
 
-    cache_l leaves ``(n_pages, page, nh, ...)``; tables ``(B, AP)`` →
-    ``(B, AP·page, nh, ...)``.
+    cache_l leaves ``(n_pages, nh, page, ...)``; tables ``(B, AP)`` →
+    ``(B, nh, AP·page, ...)``.
     """
     B, AP = tables.shape
     out = {}
     for key, val in cache_l.items():
-        g = val[tables]  # (B, AP, page, nh, x)
-        out[key] = g.reshape(B, AP * val.shape[1], *g.shape[3:])
+        nh, page = val.shape[1], val.shape[2]
+        g = val[tables]  # (B, AP, nh, page, x)
+        g = jnp.moveaxis(g, 2, 1)  # (B, nh, AP, page, x)
+        out[key] = g.reshape(B, nh, AP * page, *val.shape[3:])
     return out
 
 
 def _paged_attention(q, gath, pos, quantized):
-    """q: (B, nh, T, hd); gath leaves (B, S, nh, hd) (S = AP·page);
+    """q: (B, nh, T, hd); gath leaves (B, nh, S, hd) (S = AP·page);
     pos: (B, T) absolute positions of the query tokens. Same masked-softmax /
-    folded-scale math as `serving._slot_attention`, generalized to T query
-    tokens (prefill) and per-(slot, token) positions."""
-    S = gath["k"].shape[1]
+    folded-scale math as `ops/attention.decode_attention_quant`, generalized to
+    T query tokens (prefill) and per-(slot, token) positions."""
+    S = gath["k"].shape[2]
     slot = jnp.arange(S, dtype=pos.dtype)
     mask = (slot[None, None, :] <= pos[:, :, None])[:, None]  # (B, 1, T, S)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if quantized:
-        att = jnp.einsum("bhqd,bshd->bhqs", q, gath["k"].astype(q.dtype))
-        att = att * gath["k_scale"][..., 0].transpose(0, 2, 1)[:, :, None, :].astype(
-            jnp.float32
-        )
+        att = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype))
+        att = att * gath["k_scale"][:, :, None, :].astype(jnp.float32)
         att = jnp.where(mask, att * scale, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1)
-        att = att * gath["v_scale"][..., 0].transpose(0, 2, 1)[:, :, None, :]
+        att = att * gath["v_scale"][:, :, None, :]
         return jnp.einsum(
-            "bhqs,bshd->bhqd", att.astype(q.dtype), gath["v"].astype(q.dtype)
+            "bhqs,bhsd->bhqd", att.astype(q.dtype), gath["v"].astype(q.dtype)
         )
-    att = jnp.einsum("bhqd,bshd->bhqs", q, gath["k"].astype(q.dtype)) * scale
+    att = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype)) * scale
     att = jnp.where(mask, att.astype(jnp.float32), -jnp.inf)
     att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqs,bshd->bhqd", att, gath["v"].astype(q.dtype))
+    return jnp.einsum("bhqs,bhsd->bhqd", att, gath["v"].astype(q.dtype))
 
 
 @partial(
-    jax.jit, static_argnames=("config", "quantized"), donate_argnums=(4,)
+    jax.jit,
+    static_argnames=("config", "quantized", "use_kernel"),
+    donate_argnums=(4,),
 )
 def paged_forward(
     params,
@@ -122,6 +129,7 @@ def paged_forward(
     pool: PagePool,
     config: LLaMAConfig,
     quantized: bool,
+    use_kernel: bool = False,
 ) -> Tuple[jax.Array, PagePool]:
     """One paged forward: write each token's k/v at ``(table[pos//page], pos%page)``,
     attend against the gathered pages (write-then-attend, so a slot's own new
@@ -165,17 +173,30 @@ def paged_forward(
             # quantize_kv reduces over the trailing hd axis only — works on the
             # (B, T, nh, hd) layout directly
             kq, ks, vq, vs = quantize_kv(k, v)
-            writes = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+            writes = {"k": kq, "v": vq,
+                      "k_scale": ks[..., 0], "v_scale": vs[..., 0]}
         else:
             writes = {"k": k.astype(cache_l["k"].dtype),
                       "v": v.astype(cache_l["v"].dtype)}
-        # scatter the (B, T) new entries into their pages
+        # scatter the (B, T) new entries into their (page, nh, offset) rows
         cache_l = {
-            key: cache_l[key].at[page_idx, offs].set(val)
+            key: cache_l[key].at[page_idx, :, offs].set(val)
             for key, val in writes.items()
         }
-        gath = _gathered(cache_l, tables)
-        y = _paged_attention(q.transpose(0, 2, 1, 3), gath, pos, quantized)
+        if use_kernel and T == 1 and quantized:
+            from lit_llama_ja_tpu.ops.pallas.paged_attention import (
+                paged_decode_attention,
+            )
+
+            y = paged_decode_attention(
+                q[:, 0].astype(jnp.bfloat16),
+                cache_l["k"], cache_l["k_scale"],
+                cache_l["v"], cache_l["v_scale"],
+                tables, pos[:, 0],
+            )[:, :, None].astype(x.dtype)  # (B, nh, 1, hd)
+        else:
+            gath = _gathered(cache_l, tables)
+            y = _paged_attention(q.transpose(0, 2, 1, 3), gath, pos, quantized)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, config.n_embd)
         x = x + apply_linear(block_params["attn"]["c_proj"], y)
         x = x + mlp_block(
@@ -192,7 +213,7 @@ def paged_forward(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "quantized", "top_k"),
+    static_argnames=("config", "quantized", "top_k", "use_kernel"),
     donate_argnums=(4,),
 )
 def _paged_decode_and_sample(
@@ -206,11 +227,13 @@ def _paged_decode_and_sample(
     config: LLaMAConfig,
     quantized: bool,
     top_k: Optional[int],
+    use_kernel: bool = False,
 ) -> Tuple[jax.Array, PagePool]:
     """Batched decode step + per-slot sampling in ONE device program (the host
     moves only B int32 tokens per step — PERF.md's ~50 ms host-gap lesson)."""
     logits, pool = paged_forward(
-        params, toks[:, None], pos[:, None], tables, pool, config, quantized
+        params, toks[:, None], pos[:, None], tables, pool, config, quantized,
+        use_kernel,
     )
     logits = logits[:, 0].astype(jnp.float32)
     if top_k is not None:

@@ -61,3 +61,18 @@ _ = np.asarray(nxt)
 paged_ms = (time.perf_counter() - t0) / STEPS * 1e3
 print(f"paged decode:       {paged_ms:.1f} ms/step ({B / paged_ms * 1e3:.0f} tok/s aggregate)")
 print(f"paged overhead: {paged_ms / slot_ms - 1:+.1%}")
+
+# --- paged step with the Pallas attention kernel -----------------------------
+nxt, pool = _paged_decode_and_sample(
+    params, toks, pos, tables, pool, key, temps, config, True, None, True
+)
+_ = np.asarray(nxt)
+t0 = time.perf_counter()
+for i in range(STEPS):
+    nxt, pool = _paged_decode_and_sample(
+        params, nxt, pos + 1 + i, tables, pool, key, temps, config, True, None, True
+    )
+_ = np.asarray(nxt)
+kern_ms = (time.perf_counter() - t0) / STEPS * 1e3
+print(f"paged decode+kernel: {kern_ms:.1f} ms/step ({B / kern_ms * 1e3:.0f} tok/s aggregate)")
+print(f"kernel vs gather: {kern_ms / paged_ms - 1:+.1%}")
