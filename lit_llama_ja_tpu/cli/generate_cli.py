@@ -75,6 +75,8 @@ def main(
     checkpoint_path: str = "checkpoints/lit-llama/7B/lit-llama.pth",
     tokenizer_path: str = "checkpoints/lit-llama/tokenizer.json",
     quantize: Optional[str] = None,
+    draft_checkpoint_path: Optional[str] = None,
+    draft_k: int = 4,
     seed: int = 1234,
 ) -> None:
     """Generates text samples based on a pre-trained LLaMA model and tokenizer.
@@ -88,6 +90,11 @@ def main(
         checkpoint_path: Native checkpoint dir or lit-llama .pth file.
         tokenizer_path: tokenizers-json (HF) or sentencepiece .model file.
         quantize: None | "llm.int8" | "gptq.int4" | "gptq.int8".
+        draft_checkpoint_path: optional small-model checkpoint (same tokenizer,
+            e.g. a 19M/49M ja model drafting for 7B) enabling speculative
+            decoding: `infer/speculative.py` — exact target distribution, up to
+            draft_k+1 tokens per target forward.
+        draft_k: drafted tokens per speculative round.
         seed: PRNG seed.
     """
     from lit_llama_ja_tpu.infer.generate import generate
@@ -96,6 +103,9 @@ def main(
     print("Loading model ...", file=sys.stderr)
     t0 = time.time()
     params, config = load_model_any(Path(checkpoint_path), quantize)
+    draft = None
+    if draft_checkpoint_path:
+        draft = load_model_any(Path(draft_checkpoint_path), None)
     print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
 
     tok_path = Path(tokenizer_path)
@@ -109,17 +119,27 @@ def main(
     for i in range(num_samples):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        y = generate(
-            params,
-            config,
-            jnp.asarray(encoded),
-            max_new_tokens,
-            temperature=temperature,
-            top_k=top_k,
-            eos_id=tokenizer.eos_id,
-            key=sub,
-            cache_dtype=jnp.bfloat16,
-        )
+        if draft is not None:
+            from lit_llama_ja_tpu.infer.speculative import speculative_generate
+
+            y = speculative_generate(
+                params, config, draft[0], draft[1],
+                jnp.asarray(encoded), max_new_tokens,
+                K=draft_k, temperature=temperature, top_k=top_k,
+                eos_id=tokenizer.eos_id, key=sub, cache_dtype=jnp.bfloat16,
+            )
+        else:
+            y = generate(
+                params,
+                config,
+                jnp.asarray(encoded),
+                max_new_tokens,
+                temperature=temperature,
+                top_k=top_k,
+                eos_id=tokenizer.eos_id,
+                key=sub,
+                cache_dtype=jnp.bfloat16,
+            )
         jax.effects_barrier()
         t = time.perf_counter() - t0
         print(tokenizer.decode(y))

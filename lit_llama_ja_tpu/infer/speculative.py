@@ -1,0 +1,202 @@
+"""Speculative decoding: draft-model lookahead with exact target-distribution
+verification (Leviathan et al. rejection scheme).
+
+Single-stream decode is HBM-bound on weight streaming (PERF.md): every token
+pays a full pass over the target's weights. Speculative decoding breaks that
+per-token bound: a small draft model proposes K tokens autoregressively, the
+target verifies all K+1 positions in ONE forward (one weight pass amortized
+over up to K+1 emitted tokens). The modified rejection sampler keeps the output
+distribution EXACTLY the target's — with temperature=0 the emitted sequence is
+bitwise the target's greedy sequence no matter how bad the draft is (property
+under test in `tests/test_speculative.py`).
+
+The ja-fork model family is the natural pairing: 19M/49M drafts for the 7B
+target, all loadable by this framework. The reference has nothing comparable
+(its `generate.py` is strictly one-token-per-forward).
+
+Cache bookkeeping (no fixup passes):
+  * Target writes k/v for (last_tok, drafts[0..K-1]) at pos..pos+K in its
+    verify forward; rejected suffix entries are stale but sit at positions
+    beyond the accepted point, masked until overwritten (the same
+    write-then-mask convention the prefill padding uses).
+  * The draft consumes (prev_tok, last_tok) as a 2-token step before drafting:
+    when a round accepts all K drafts, the draft never consumed its own last
+    proposal — the pair-feed fills that one-position cache hole on the next
+    round (re-writing an already-cached position is an identical overwrite).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.infer.generate import bucket_length
+from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
+
+
+def _dist(logits: jax.Array, temperature: float, top_k: Optional[int]) -> jax.Array:
+    """The sampling distribution as an explicit probability vector (V,).
+
+    Matches `ops/sampling.sample_token`'s semantics: top-k filter, then
+    temperature; temperature == 0 is a point mass on the argmax.
+    """
+    logits = logits.astype(jnp.float32)
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if temperature == 0.0:
+        return jax.nn.one_hot(jnp.argmax(logits), logits.shape[-1], dtype=jnp.float32)
+    return jax.nn.softmax(logits / temperature)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "K", "temperature", "top_k"),
+    donate_argnums=(4, 5),
+)
+def _spec_round(
+    tparams,
+    dparams,
+    prev_tok: jax.Array,  # () int32 — token at pos-1 (already cached; see module doc)
+    last_tok: jax.Array,  # () int32 — token at pos, not yet in any cache
+    tcache,
+    dcache,
+    pos: jax.Array,  # () int32 — position of last_tok
+    key: jax.Array,
+    tcfg: LLaMAConfig,
+    dcfg: LLaMAConfig,
+    K: int,
+    temperature: float,
+    top_k: Optional[int],
+) -> Tuple[jax.Array, jax.Array, dict, dict]:
+    """One draft-verify round. Returns (tokens (K+1,), n_out, tcache, dcache):
+    ``tokens[:n_out]`` are the newly emitted tokens (up to K accepted drafts
+    plus one target-sampled token)."""
+    kd, kacc, kfin = jax.random.split(key, 3)
+
+    # --- draft: pair-feed (prev, last), then K-1 single steps ---------------
+    pair = jnp.stack([prev_tok, last_tok])[None]  # (1, 2)
+    logits, dcache = forward_with_cache(
+        dparams, pair, jnp.stack([pos - 1, pos]), dcache, dcfg
+    )
+    d_keys = jax.random.split(kd, K)
+    p0 = _dist(logits[0, -1], temperature, top_k)
+    tok0 = jax.random.categorical(d_keys[0], jnp.log(p0 + 1e-30))
+
+    def dstep(carry, xs):
+        dcache, tok, p = carry
+        k_i = xs
+        logits, dcache = forward_with_cache(
+            dparams, tok[None, None].astype(jnp.int32), p[None], dcache, dcfg
+        )
+        probs = _dist(logits[0, -1], temperature, top_k)
+        nxt = jax.random.categorical(k_i, jnp.log(probs + 1e-30))
+        return (dcache, nxt.astype(jnp.int32), p + 1), (tok.astype(jnp.int32), probs)
+
+    # Scan step j consumes drafts[j] and produces (drafts[j], p_d[j+1]); the
+    # carry exits holding drafts[K-1]. Assembly is uniform in K (zero-length
+    # scan for K=1): drafts = emitted ++ [carry], p_d = [p0] ++ emitted_probs.
+    (dcache, last_draft, _), (consumed, probs_out) = jax.lax.scan(
+        dstep, (dcache, tok0.astype(jnp.int32), pos + 1), d_keys[1:]
+    )
+    draft_toks = jnp.concatenate([consumed, last_draft[None]])  # (K,)
+    p_d = jnp.concatenate([p0[None], probs_out])  # (K, V); drafts[i] ~ p_d[i]
+
+    # --- target: verify all K+1 positions in one forward --------------------
+    tin = jnp.concatenate([last_tok[None].astype(jnp.int32), draft_toks])[None]
+    tpos = pos + jnp.arange(K + 1, dtype=jnp.int32)
+    tlogits, tcache = forward_with_cache(tparams, tin, tpos, tcache, tcfg)
+    p_t = jax.vmap(lambda lg: _dist(lg, temperature, top_k))(
+        tlogits[0]
+    )  # (K+1, V)
+
+    # --- acceptance (vectorized rejection chain) ----------------------------
+    u = jax.random.uniform(kacc, (K,))
+    pt_x = jnp.take_along_axis(p_t[:K], draft_toks[:, None], axis=1)[:, 0]
+    pd_x = jnp.take_along_axis(p_d, draft_toks[:, None], axis=1)[:, 0]
+    accept = u < jnp.minimum(1.0, pt_x / jnp.maximum(pd_x, 1e-30))
+    keep = jnp.cumprod(accept.astype(jnp.int32))
+    n_acc = keep.sum()  # length of accepted draft prefix
+
+    # final token: bonus sample from p_t[K] if all accepted, else residual
+    # distribution max(p_t - p_d, 0) at the rejection point
+    p_t_at = p_t[n_acc]
+    p_d_at = jnp.where(n_acc == K, jnp.zeros_like(p_t_at), p_d[jnp.minimum(n_acc, K - 1)])
+    resid = jnp.maximum(p_t_at - p_d_at, 0.0)
+    resid_sum = resid.sum()
+    final_dist = jnp.where(resid_sum > 1e-30, resid / jnp.maximum(resid_sum, 1e-30), p_t_at)
+    final = jax.random.categorical(kfin, jnp.log(final_dist + 1e-30)).astype(jnp.int32)
+
+    tokens = jnp.concatenate([draft_toks, jnp.zeros((1,), jnp.int32)])
+    tokens = tokens.at[n_acc].set(final)
+    return tokens, n_acc + 1, tcache, dcache
+
+
+def speculative_generate(
+    tparams,
+    tcfg: LLaMAConfig,
+    dparams,
+    dcfg: LLaMAConfig,
+    prompt,
+    max_new_tokens: int,
+    *,
+    K: int = 4,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    cache_dtype=jnp.float32,
+) -> np.ndarray:
+    """Generate with draft-model speculation; output distribution == target's.
+
+    Both models must share the tokenizer/vocab (the ja family does). Generation
+    stops ``K`` short of the cache capacity (speculative rounds need room for
+    K+1 writes; no roll-eviction inside a round).
+    """
+    prompt = jnp.asarray(prompt, jnp.int32)
+    T = int(prompt.shape[0])
+    S = min(T + max_new_tokens + K + 1, min(tcfg.block_size, dcfg.block_size))
+    P = min(bucket_length(T), S)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    tcache = init_kv_cache(tcfg, 1, S, cache_dtype)
+    dcache = init_kv_cache(dcfg, 1, S, cache_dtype)
+    padded = jnp.zeros((P,), jnp.int32).at[:T].set(prompt)
+    input_pos = jnp.arange(P, dtype=jnp.int32)
+    tlogits, tcache = forward_with_cache(tparams, padded[None], input_pos, tcache, tcfg)
+    _, dcache = forward_with_cache(dparams, padded[None], input_pos, dcache, dcfg)
+
+    key, sub = jax.random.split(key)
+    first_dist = _dist(tlogits[0, T - 1], temperature, top_k)
+    last_tok = jax.random.categorical(sub, jnp.log(first_dist + 1e-30)).astype(jnp.int32)
+
+    out = [int(last_tok)]
+    prev_tok = prompt[-1]
+    pos = jnp.int32(T)
+    while len(out) < max_new_tokens:
+        if int(pos) + K + 1 >= S:
+            break
+        key, sub = jax.random.split(key)
+        tokens, n_out, tcache, dcache = _spec_round(
+            tparams, dparams, prev_tok, last_tok, tcache, dcache, pos, sub,
+            tcfg, dcfg, K, temperature, top_k,
+        )
+        tokens = np.asarray(tokens)
+        n_out = int(n_out)
+        emitted = tokens[:n_out].tolist()
+        out.extend(emitted)
+        if eos_id is not None and eos_id in emitted:
+            break
+        prev_tok = jnp.int32(tokens[n_out - 2]) if n_out >= 2 else last_tok
+        last_tok = jnp.int32(tokens[n_out - 1])
+        pos = pos + n_out
+
+    out = out[:max_new_tokens]
+    if eos_id is not None and eos_id in out:
+        out = out[: out.index(eos_id) + 1]
+    return np.concatenate([np.asarray(prompt), np.asarray(out, np.int32)])
