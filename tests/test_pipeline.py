@@ -98,3 +98,56 @@ def test_pp_train_step_matches_single_device(rng):
             got, np.asarray(want), atol=2e-4, rtol=2e-3,
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_pp_tp_forward_matches_scan(rng):
+    """pp=2 × tp=2: megatron in-stage TP inside the pipeline."""
+    from lit_llama_ja_tpu.parallel.pipeline import relayout_qkv
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=2, pp=2, devices=jax.devices()[:4])
+    params = shard_params_pp(_params(), mesh, tp=True)
+    M, mb, T = 3, 2, 12
+    idx = jnp.asarray(rng.integers(0, 96, (M, mb, T)), jnp.int32)
+    got = np.asarray(pipeline_forward(params, idx, CFG, mesh, "pp", False, "tp"))
+    want = np.asarray(llama.forward(_params(), idx.reshape(M * mb, T), CFG))
+    np.testing.assert_allclose(got.reshape(M * mb, T, -1), want, atol=2e-4, rtol=2e-4)
+
+
+def test_pp_tp_dp_forward(rng):
+    """Full 3-way composition: dp=2 × tp=2 × pp=2 on 8 virtual devices."""
+    mesh = make_mesh(dp=2, fsdp=1, tp=2, pp=2)
+    params = shard_params_pp(_params(), mesh, tp=True)
+    M, mb, T = 2, 4, 8
+    idx = jnp.asarray(rng.integers(0, 96, (M, mb, T)), jnp.int32)
+    got = np.asarray(pipeline_forward(params, idx, CFG, mesh, "pp", False, "tp"))
+    want = np.asarray(llama.forward(_params(), idx.reshape(M * mb, T), CFG))
+    np.testing.assert_allclose(got.reshape(M * mb, T, -1), want, atol=2e-4, rtol=2e-4)
+
+
+def test_pp_tp_train_step_matches_single_device(rng):
+    mesh = make_mesh(dp=1, fsdp=1, tp=2, pp=2, devices=jax.devices()[:4])
+    opt = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.1)
+    M, mb, T = 4, 2, 12
+    batch = jnp.asarray(rng.integers(0, 96, (M, mb, T + 1)), jnp.int32)
+
+    params_pp = shard_params_pp(_params(), mesh, tp=True)
+    opt_state = opt.init(params_pp)
+    step_pp = make_pp_train_step(CFG, opt, mesh, tp_axis="tp").jit_with(params_pp)
+    new_pp, _, loss_pp = step_pp(params_pp, opt_state, batch)
+
+    params_ref = _params()
+    step_ref = jax.jit(make_train_step(CFG, opt))
+    new_ref, _, loss_ref = step_ref(params_ref, opt.init(params_ref), batch)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref), atol=1e-5, rtol=1e-5)
+    # compare the qkv leaf through the relayout and one ordinary leaf
+    want_qkv = np.asarray(new_ref["blocks"]["attn"]["c_attn"]["weight"])
+    got_qkv = np.asarray(new_pp["blocks"]["attn"]["c_attn"]["weight"]).reshape(
+        want_qkv.shape
+    )
+    np.testing.assert_allclose(got_qkv, want_qkv, atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(new_pp["blocks"]["mlp"]["c_proj"]["weight"]),
+        np.asarray(new_ref["blocks"]["mlp"]["c_proj"]["weight"]),
+        atol=2e-4, rtol=2e-3,
+    )
