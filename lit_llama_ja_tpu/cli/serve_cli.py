@@ -26,6 +26,7 @@ def main(
     paged: bool = False,
     page_size: int = 16,
     n_pages: int = 0,
+    prefill_chunk: int = 0,
     seed: int = 1234,
 ) -> None:
     """Serve a batch of prompts with continuous batching.
@@ -40,6 +41,8 @@ def main(
         page_size: tokens per page (paged only).
         n_pages: KV pool size in pages; 0 -> the dense equivalent
             ``max_batch * max_seq_length / page_size`` (paged only).
+        prefill_chunk: interleave long-prompt prefill with decode in chunks of
+            this many tokens (paged only); 0 = whole-prompt prefill.
     """
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
     from lit_llama_ja_tpu.infer.paged import PagedEngine
@@ -67,7 +70,8 @@ def main(
             params, config,
             max_batch=max_batch, n_pages=pool_pages, page_size=page_size,
             max_pages_per_slot=max(1, max_seq_length // page_size),
-            quantize_kv=quantize_kv, eos_id=tokenizer.eos_id, seed=seed,
+            quantize_kv=quantize_kv, eos_id=tokenizer.eos_id,
+            prefill_chunk=prefill_chunk or None, seed=seed,
         )
     else:
         engine = Engine(

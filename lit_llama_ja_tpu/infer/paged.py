@@ -276,8 +276,13 @@ class PagedEngine:
         max_pages_per_slot: Optional[int] = None,
         quantize_kv: bool = False,
         eos_id: Optional[int] = None,
+        prefill_chunk: Optional[int] = None,
         seed: int = 0,
     ):
+        """``prefill_chunk``: process prompts in chunks of at most this many
+        tokens, interleaved with decode steps — a long prompt no longer stalls
+        the active streams for its whole prefill (per-step latency is bounded
+        by one chunk + one decode). None = whole-prompt prefill at admit."""
         self.params = params
         self.config = config
         self.B = max_batch
@@ -303,6 +308,11 @@ class PagedEngine:
         self.top_k: Optional[int] = None
         self.slot_req: List[Optional[_PagedRequest]] = [None] * max_batch
         self.queue: List[_PagedRequest] = []
+        self.prefill_chunk = prefill_chunk
+        # slot -> in-progress chunked prefill: the slot's real table row lives
+        # here (self.tables row stays all-trash) so interleaved decode writes
+        # for other slots can never land in a half-prefilled region
+        self.prefilling: Dict[int, dict] = {}
         self._next_id = 0
         self._prefixes: Dict[int, Tuple[List[int], np.ndarray]] = {}
         self._next_prefix = 0
@@ -444,35 +454,75 @@ class PagedEngine:
                     )
                 return  # pool exhausted — head-of-line request waits (backpressure)
             self.queue.pop(0)
-            self.tables[slot] = 0
-            self.tables[slot, : len(shared_pages)] = shared_pages
-            self.tables[slot, len(shared_pages) : len(shared_pages) + len(own)] = own
+            row = np.zeros(self.maxP, np.int32)
+            row[: len(shared_pages)] = shared_pages
+            row[len(shared_pages) : len(shared_pages) + len(own)] = own
             for p in shared_pages:
                 self.page_refs[p] += 1
-            self.n_owned[slot] = len(shared_pages) + len(own)
+            n_owned = len(shared_pages) + len(own)
+            req.slot = slot
+            self.slot_req[slot] = req
             self.n_shared[slot] = len(shared_pages)
+            self.n_owned[slot] = n_owned
+            C = self.prefill_chunk
+            if C is not None and len(tail) > C:
+                # chunked: the table row installs only at activation; until then
+                # the slot decodes against trash (pos/cur pinned to 0)
+                self.tables[slot] = 0
+                self.pos[slot] = 0
+                self.cur[slot] = 0
+                self.prefilling[slot] = {
+                    "req": req, "tail": tail, "off": 0, "row": row,
+                    "shared_len": shared_len, "total_len": total_len,
+                    "resuming": resuming, "n_owned": n_owned,
+                }
+                continue
+            self.tables[slot] = row
             logits = self._prefill_span(
                 tail,
                 start_pos=shared_len,
-                table_pages=list(self.tables[slot, : self.n_owned[slot]]),
+                table_pages=list(row[:n_owned]),
                 want_logits=not resuming,
             )
-            req.slot = slot
-            self.slot_req[slot] = req
-            self.pos[slot] = total_len
-            self.temps[slot] = req.temperature
-            if resuming:
-                self.cur[slot] = req.tokens[-1]
-            else:
-                self.key, sub = jax.random.split(self.key)
-                tok = int(
-                    sample_token(sub, jnp.asarray(logits), req.temperature, req.top_k)
+            self._activate(slot, req, logits, resuming, total_len)
+
+    def _activate(self, slot, req, logits, resuming, total_len):
+        """Final bookkeeping once a slot's whole prompt is in the cache."""
+        self.pos[slot] = total_len
+        self.temps[slot] = req.temperature
+        if resuming:
+            self.cur[slot] = req.tokens[-1]
+        else:
+            self.key, sub = jax.random.split(self.key)
+            tok = int(
+                sample_token(sub, jnp.asarray(logits), req.temperature, req.top_k)
+            )
+            req.tokens.append(tok)
+            self.cur[slot] = tok
+        if req.top_k is not None:
+            self.top_k = req.top_k if self.top_k is None else self.top_k
+        self._maybe_finish(req)
+
+    def _advance_prefills(self):
+        """Run ONE chunk of prefill per in-progress slot; activate on the last."""
+        for slot, st in list(self.prefilling.items()):
+            C = self.prefill_chunk
+            tail, off = st["tail"], st["off"]
+            chunk = tail[off : off + C]
+            last = off + len(chunk) >= len(tail)
+            logits = self._prefill_span(
+                chunk,
+                start_pos=st["shared_len"] + off,
+                table_pages=list(st["row"][: st["n_owned"]]),
+                want_logits=last and not st["resuming"],
+            )
+            st["off"] = off + len(chunk)
+            if last:
+                del self.prefilling[slot]
+                self.tables[slot] = st["row"]
+                self._activate(
+                    slot, st["req"], logits, st["resuming"], st["total_len"]
                 )
-                req.tokens.append(tok)
-                self.cur[slot] = tok
-            if req.top_k is not None:
-                self.top_k = req.top_k if self.top_k is None else self.top_k
-            self._maybe_finish(req)
 
     def _retire(self, req: _PagedRequest):
         slot = req.slot
@@ -512,15 +562,23 @@ class PagedEngine:
         return True
 
     # -- stepping ----------------------------------------------------------
+    def _decoding(self) -> List[_PagedRequest]:
+        return [
+            r for slot, r in enumerate(self.slot_req)
+            if r is not None and slot not in self.prefilling
+        ]
+
     def step(self) -> List[Tuple[int, int, bool]]:
-        """Admit waiting requests, run one batched paged decode step."""
+        """Admit waiting requests, advance in-progress chunked prefills by one
+        chunk each, then run one batched paged decode step."""
         self._admit()
+        self._advance_prefills()
         while not self._ensure_capacity():
             # Out of pages mid-decode: preempt the longest request (free its
             # pages, requeue at the head — FIFO admission makes it wait for
             # capacity instead of stealing it back immediately). A request
             # preempted repeatedly (pathologically sized pool) is truncated.
-            active = [r for r in self.slot_req if r is not None]
+            active = self._decoding()
             if not active:
                 return []
             victim = max(active, key=lambda r: self.pos[r.slot])
@@ -530,7 +588,7 @@ class PagedEngine:
                 victim.done = True
             else:
                 self.queue.insert(0, victim)
-        active = [r for r in self.slot_req if r is not None]
+        active = self._decoding()
         if not active:
             return []
         # attend width bucket: pages needed by the longest active slot
@@ -554,7 +612,7 @@ class PagedEngine:
         nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []
         for slot, req in enumerate(self.slot_req):
-            if req is None:
+            if req is None or slot in self.prefilling:
                 continue
             tok = int(nxt[slot])
             req.tokens.append(tok)
