@@ -71,6 +71,7 @@ def main(
     num_samples: int = 1,
     max_new_tokens: int = 50,
     top_k: int = 200,
+    top_p: float = 1.0,
     temperature: float = 0.8,
     checkpoint_path: str = "checkpoints/lit-llama/7B/lit-llama.pth",
     tokenizer_path: str = "checkpoints/lit-llama/tokenizer.json",
@@ -86,6 +87,7 @@ def main(
         num_samples: The number of text samples to generate.
         max_new_tokens: The number of generation steps to take.
         top_k: The number of top most probable tokens to consider.
+        top_p: nucleus sampling mass (1.0 = off; extension over the reference).
         temperature: Sampling randomness scale.
         checkpoint_path: Native checkpoint dir or lit-llama .pth file.
         tokenizer_path: tokenizers-json (HF) or sentencepiece .model file.
@@ -126,6 +128,7 @@ def main(
                 params, config, draft[0], draft[1],
                 jnp.asarray(encoded), max_new_tokens,
                 K=draft_k, temperature=temperature, top_k=top_k,
+                top_p=top_p if top_p < 1.0 else None,
                 eos_id=tokenizer.eos_id, key=sub, cache_dtype=jnp.bfloat16,
             )
         else:
@@ -136,6 +139,7 @@ def main(
                 max_new_tokens,
                 temperature=temperature,
                 top_k=top_k,
+                top_p=top_p if top_p < 1.0 else None,
                 eos_id=tokenizer.eos_id,
                 key=sub,
                 cache_dtype=jnp.bfloat16,

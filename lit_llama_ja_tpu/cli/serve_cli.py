@@ -18,6 +18,7 @@ def main(
     max_batch: int = 8,
     temperature: float = 0.8,
     top_k: int = 200,
+    top_p: float = 1.0,
     checkpoint_path: str = "checkpoints/lit-llama/7B/native",
     tokenizer_path: str = "checkpoints/lit-llama/tokenizer.json",
     quantize: Optional[str] = None,
@@ -97,6 +98,7 @@ def main(
     outputs = engine.run(
         [(ids, max_new_tokens) for ids in encoded],
         temperature=temperature, top_k=top_k,
+        top_p=top_p if top_p < 1.0 else None,
     )
     dt = time.perf_counter() - t0
 

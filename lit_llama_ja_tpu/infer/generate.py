@@ -34,7 +34,7 @@ def bucket_length(n: int, minimum: int = 16) -> int:
     jax.jit,
     static_argnames=(
         "config", "max_new_tokens", "max_seq_length", "temperature", "top_k",
-        "cache_dtype", "quantize_kv",
+        "top_p", "cache_dtype", "quantize_kv",
     ),
 )
 def _generate_jit(
@@ -48,6 +48,7 @@ def _generate_jit(
     max_seq_length: int,
     temperature: float,
     top_k: Optional[int],
+    top_p: Optional[float],
     cache_dtype,
     quantize_kv: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -65,7 +66,7 @@ def _generate_jit(
         logits[0], prompt_len - 1, axis=0, keepdims=False
     )
     key, sub = jax.random.split(key)
-    first_tok = sample_token(sub, last_logits, temperature, top_k)
+    first_tok = sample_token(sub, last_logits, temperature, top_k, top_p)
 
     def step(carry, _):
         cache, tok, pos, key = carry
@@ -73,7 +74,7 @@ def _generate_jit(
         logits, cache = forward_with_cache(
             params, tok[None, None], pos[None], cache, config
         )
-        nxt = sample_token(sub, logits[0, -1], temperature, top_k)
+        nxt = sample_token(sub, logits[0, -1], temperature, top_k, top_p)
         return (cache, nxt, pos + 1, key), tok
 
     (cache, last_tok, _, _), toks = jax.lax.scan(
@@ -95,6 +96,7 @@ def generate(
     max_seq_length: Optional[int] = None,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
@@ -132,6 +134,7 @@ def generate(
         max_seq_length=S,
         temperature=temperature,
         top_k=top_k,
+        top_p=top_p,
         cache_dtype=cache_dtype,
         quantize_kv=quantize_kv,
     )

@@ -4,8 +4,8 @@
 the reference's own semantics (prompts capped at block_size, `lit_llama/model.py:92-94`)
 but wasteful under mixed-length serving. Here the cache is a **page pool**:
 
-  * Pool: ``(L, n_pages, page_size, nh, hd)`` (bf16 or INT8+scales) — KV memory is
-    a shared budget, not a per-slot reservation.
+  * Pool: ``(L, n_pages, nh, page_size, hd)`` (bf16 or INT8+scales, heads-major)
+    — KV memory is a shared budget, not a per-slot reservation.
   * Each slot holds a **page table** ``(maxP,)`` of pool indices; position ``p``
     lives at ``(table[p // page], p % page)``. Tables are tiny int32 arrays the
     host updates only when a slot crosses a page boundary.
@@ -139,7 +139,7 @@ def paged_forward(
     compiled body for the whole serving engine.
     """
     B, T = toks.shape
-    page = pool["k"].shape[2]
+    page = pool["k"].shape[3]  # leaves are (L, n_pages, nh, page, hd)
     nh, hd = config.n_head, config.head_dim
     # rope table extends to the table capacity (beyond block_size = position
     # extrapolation, same policy as parallel/sp_forward)
@@ -213,7 +213,7 @@ def paged_forward(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "quantized", "top_k", "use_kernel"),
+    static_argnames=("config", "quantized", "top_k", "top_p", "use_kernel"),
     donate_argnums=(4,),
 )
 def _paged_decode_and_sample(
@@ -227,6 +227,7 @@ def _paged_decode_and_sample(
     config: LLaMAConfig,
     quantized: bool,
     top_k: Optional[int],
+    top_p: Optional[float] = None,
     use_kernel: bool = False,
 ) -> Tuple[jax.Array, PagePool]:
     """Batched decode step + per-slot sampling in ONE device program (the host
@@ -241,6 +242,10 @@ def _paged_decode_and_sample(
         sample_logits = jnp.where(logits < kth, -jnp.inf, logits)
     else:
         sample_logits = logits
+    if top_p is not None and top_p < 1.0:
+        from lit_llama_ja_tpu.ops.sampling import top_p_filter
+
+        sample_logits = top_p_filter(sample_logits, top_p)
     safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
     sampled = jax.random.categorical(key, sample_logits / safe_t, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
@@ -306,6 +311,7 @@ class PagedEngine:
         self.cur = np.zeros(max_batch, np.int32)
         self.temps = np.zeros(max_batch, np.float32)
         self.top_k: Optional[int] = None
+        self.top_p: Optional[float] = None
         self.slot_req: List[Optional[_PagedRequest]] = [None] * max_batch
         self.queue: List[_PagedRequest] = []
         self.prefill_chunk = prefill_chunk
@@ -372,10 +378,13 @@ class PagedEngine:
         max_new_tokens: int,
         temperature: float = 0.0,
         top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
         prefix_id: Optional[int] = None,
     ) -> int:
         """Queue a request. With ``prefix_id``, ``prompt`` is the continuation
         AFTER the registered prefix (the engine prepends the prefix tail)."""
+        if top_p is not None:
+            self.top_p = top_p if self.top_p is None else self.top_p
         req = _PagedRequest(
             self._next_id, np.asarray(prompt, np.int32), max_new_tokens,
             temperature, top_k, prefix_id,
@@ -608,6 +617,7 @@ class PagedEngine:
             self.config,
             self.quantized,
             self.top_k,
+            self.top_p,
         )
         nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []
@@ -627,6 +637,7 @@ class PagedEngine:
         requests: List[Tuple[np.ndarray, int]],
         temperature: float = 0.0,
         top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
         prefix_id: Optional[int] = None,
     ) -> Dict[int, np.ndarray]:
         """Submit (prompt, max_new_tokens) pairs and run to completion; returns
@@ -634,7 +645,7 @@ class PagedEngine:
         reqs_by_id: Dict[int, _PagedRequest] = {}
         for prompt, mnt in requests:
             rid = self.add_request(
-                prompt, mnt, temperature=temperature, top_k=top_k,
+                prompt, mnt, temperature=temperature, top_k=top_k, top_p=top_p,
                 prefix_id=prefix_id,
             )
             reqs_by_id[rid] = self.queue[-1]

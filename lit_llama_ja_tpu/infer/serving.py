@@ -135,7 +135,7 @@ def _batched_decode_step(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "quantized", "top_k"),
+    static_argnames=("config", "quantized", "top_k", "top_p"),
     donate_argnums=(3,),
 )
 def _decode_and_sample(
@@ -148,6 +148,7 @@ def _decode_and_sample(
     config: LLaMAConfig,
     quantized: bool,
     top_k: Optional[int],
+    top_p: Optional[float] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Decode step + per-slot sampling fused into ONE device program.
 
@@ -162,6 +163,10 @@ def _decode_and_sample(
         sample_logits = jnp.where(logits < kth, -jnp.inf, logits)
     else:
         sample_logits = logits
+    if top_p is not None and top_p < 1.0:
+        from lit_llama_ja_tpu.ops.sampling import top_p_filter
+
+        sample_logits = top_p_filter(sample_logits, top_p)
     safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
     sampled = jax.random.categorical(key, sample_logits / safe_t, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
@@ -245,6 +250,7 @@ class Engine:
         self.cur = np.zeros(max_batch, np.int32)  # current token per slot
         self.temps = np.zeros(max_batch, np.float32)  # per-slot temperature
         self.top_k: Optional[int] = None  # engine-wide static top_k
+        self.top_p: Optional[float] = None  # engine-wide static top_p
         self.slot_req: List[Optional[_Request]] = [None] * max_batch
         self.queue: List[_Request] = []
         self._next_id = 0
@@ -257,7 +263,11 @@ class Engine:
         max_new_tokens: int,
         temperature: float = 0.0,
         top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> int:
+        if top_p is not None:
+            # jit-static: the engine adopts the first request's top_p
+            self.top_p = top_p if self.top_p is None else self.top_p
         req = _Request(
             self._next_id, np.asarray(prompt, np.int32), max_new_tokens,
             temperature, top_k,
@@ -326,6 +336,7 @@ class Engine:
             self.config,
             self.quantized,
             self.top_k,
+            self.top_p,
         )
         nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []
@@ -345,6 +356,7 @@ class Engine:
         requests: List[Tuple[np.ndarray, int]],
         temperature: float = 0.0,
         top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> Dict[int, np.ndarray]:
         """Convenience: submit (prompt, max_new_tokens) pairs, run to completion.
 
@@ -352,7 +364,9 @@ class Engine:
         (NOT after the first step — a request can retire during admission)."""
         reqs_by_id: Dict[int, _Request] = {}
         for prompt, mnt in requests:
-            rid = self.add_request(prompt, mnt, temperature=temperature, top_k=top_k)
+            rid = self.add_request(
+                prompt, mnt, temperature=temperature, top_k=top_k, top_p=top_p
+            )
             reqs_by_id[rid] = self.queue[-1]
         finished: Dict[int, np.ndarray] = {}
         while len(finished) < len(reqs_by_id):

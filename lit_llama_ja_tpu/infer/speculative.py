@@ -38,24 +38,34 @@ from lit_llama_ja_tpu.infer.generate import bucket_length
 from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
 
 
-def _dist(logits: jax.Array, temperature: float, top_k: Optional[int]) -> jax.Array:
+def _dist(
+    logits: jax.Array,
+    temperature: float,
+    top_k: Optional[int],
+    top_p: Optional[float] = None,
+) -> jax.Array:
     """The sampling distribution as an explicit probability vector (V,).
 
-    Matches `ops/sampling.sample_token`'s semantics: top-k filter, then
-    temperature; temperature == 0 is a point mass on the argmax.
+    Mirrors `ops/sampling.sample_token` exactly (same filter order:
+    temperature, top-k, top-p); temperature == 0 is a point mass on the argmax.
     """
+    from lit_llama_ja_tpu.ops.sampling import top_p_filter
+
     logits = logits.astype(jnp.float32)
+    if temperature == 0.0:
+        return jax.nn.one_hot(jnp.argmax(logits), logits.shape[-1], dtype=jnp.float32)
+    logits = logits / temperature
     if top_k is not None:
         kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if temperature == 0.0:
-        return jax.nn.one_hot(jnp.argmax(logits), logits.shape[-1], dtype=jnp.float32)
-    return jax.nn.softmax(logits / temperature)
+    if top_p is not None and top_p < 1.0:
+        logits = top_p_filter(logits, top_p)
+    return jax.nn.softmax(logits)
 
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "dcfg", "K", "temperature", "top_k"),
+    static_argnames=("tcfg", "dcfg", "K", "temperature", "top_k", "top_p"),
     donate_argnums=(4, 5),
 )
 def _spec_round(
@@ -72,6 +82,7 @@ def _spec_round(
     K: int,
     temperature: float,
     top_k: Optional[int],
+    top_p: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array, dict, dict]:
     """One draft-verify round. Returns (tokens (K+1,), n_out, tcache, dcache):
     ``tokens[:n_out]`` are the newly emitted tokens (up to K accepted drafts
@@ -84,7 +95,7 @@ def _spec_round(
         dparams, pair, jnp.stack([pos - 1, pos]), dcache, dcfg
     )
     d_keys = jax.random.split(kd, K)
-    p0 = _dist(logits[0, -1], temperature, top_k)
+    p0 = _dist(logits[0, -1], temperature, top_k, top_p)
     tok0 = jax.random.categorical(d_keys[0], jnp.log(p0 + 1e-30))
 
     def dstep(carry, xs):
@@ -93,7 +104,7 @@ def _spec_round(
         logits, dcache = forward_with_cache(
             dparams, tok[None, None].astype(jnp.int32), p[None], dcache, dcfg
         )
-        probs = _dist(logits[0, -1], temperature, top_k)
+        probs = _dist(logits[0, -1], temperature, top_k, top_p)
         nxt = jax.random.categorical(k_i, jnp.log(probs + 1e-30))
         return (dcache, nxt.astype(jnp.int32), p + 1), (tok.astype(jnp.int32), probs)
 
@@ -110,7 +121,7 @@ def _spec_round(
     tin = jnp.concatenate([last_tok[None].astype(jnp.int32), draft_toks])[None]
     tpos = pos + jnp.arange(K + 1, dtype=jnp.int32)
     tlogits, tcache = forward_with_cache(tparams, tin, tpos, tcache, tcfg)
-    p_t = jax.vmap(lambda lg: _dist(lg, temperature, top_k))(
+    p_t = jax.vmap(lambda lg: _dist(lg, temperature, top_k, top_p))(
         tlogits[0]
     )  # (K+1, V)
 
@@ -147,6 +158,7 @@ def speculative_generate(
     K: int = 4,
     temperature: float = 0.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     eos_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
@@ -172,7 +184,7 @@ def speculative_generate(
     _, dcache = forward_with_cache(dparams, padded[None], input_pos, dcache, dcfg)
 
     key, sub = jax.random.split(key)
-    first_dist = _dist(tlogits[0, T - 1], temperature, top_k)
+    first_dist = _dist(tlogits[0, T - 1], temperature, top_k, top_p)
     last_tok = jax.random.categorical(sub, jnp.log(first_dist + 1e-30)).astype(jnp.int32)
 
     out = [int(last_tok)]
@@ -184,7 +196,7 @@ def speculative_generate(
         key, sub = jax.random.split(key)
         tokens, n_out, tcache, dcache = _spec_round(
             tparams, dparams, prev_tok, last_tok, tcache, dcache, pos, sub,
-            tcfg, dcfg, K, temperature, top_k,
+            tcfg, dcfg, K, temperature, top_k, top_p,
         )
         tokens = np.asarray(tokens)
         n_out = int(n_out)

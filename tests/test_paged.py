@@ -235,3 +235,26 @@ def test_chunked_prefill_with_prefix_and_quant(model, rng):
     pid = eng.register_prefix(prefix)
     got = eng.run([(cont, 6)], prefix_id=pid)
     np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_page_size_differs_from_n_head(model, rng):
+    """Regression: page_size must come from the pool's axis-3 (heads-major
+    layout), not axis-2 — the two are different here (page=8, nh=4)."""
+    prompt = rng.integers(0, CFG.vocab_size, size=(11,)).astype(np.int32)
+    want = generate(model, CFG, jnp.asarray(prompt), 8, temperature=0.0)
+    eng = PagedEngine(model, CFG, max_batch=2, n_pages=16, page_size=8)
+    out = eng.run([(prompt, 8)])
+    np.testing.assert_array_equal(out[0], np.asarray(want))
+    engq = PagedEngine(
+        model, CFG, max_batch=2, n_pages=16, page_size=8, quantize_kv=True
+    )
+    outq = engq.run([(prompt, 8)])
+    assert len(outq[0]) == len(prompt) + 8
+
+
+def test_top_p_paged_engine(model, rng):
+    prompt = rng.integers(0, CFG.vocab_size, size=(5,)).astype(np.int32)
+    eng = PagedEngine(model, CFG, max_batch=2, n_pages=32, page_size=4)
+    out = eng.run([(prompt, 6)], temperature=0.9, top_p=0.8)
+    assert len(out[0]) == len(prompt) + 6
+    assert (out[0] >= 0).all() and (out[0] < CFG.vocab_size).all()

@@ -70,3 +70,10 @@ def test_quantized_kv_engine(model, rng):
     eng = Engine(model, CFG, max_batch=2, quantize_kv=True)
     out = eng.run([(prompt, 6)])
     assert len(out[0]) == len(prompt) + 6
+
+
+def test_top_p_engine(model, rng):
+    prompt = rng.integers(0, CFG.vocab_size, size=(5,)).astype(np.int32)
+    eng = Engine(model, CFG, max_batch=2)
+    out = eng.run([(prompt, 6)], temperature=0.9, top_p=0.8)
+    assert len(out[0]) == len(prompt) + 6
