@@ -323,6 +323,12 @@ class PagedEngine:
         self._prefixes: Dict[int, Tuple[List[int], np.ndarray]] = {}
         self._next_prefix = 0
         self.key = jax.random.PRNGKey(seed)
+        # observability counters (see stats())
+        self._steps = 0
+        self._tokens_out = 0
+        self._prefill_tokens = 0
+        self._preempts = 0
+        self._completed = 0
 
     # -- allocator ---------------------------------------------------------
     def _alloc(self, n: int) -> Optional[List[int]]:
@@ -410,6 +416,7 @@ class PagedEngine:
         pos = start_pos + np.arange(P, dtype=np.int32)
         # positions of padding tokens beyond the allocated pages go to trash:
         # their table entries are 0 already (trash), and attention masks them.
+        self._prefill_tokens += T
         logits, self.pool = paged_forward(
             self.params,
             jnp.asarray(padded[None]),
@@ -593,6 +600,7 @@ class PagedEngine:
             victim = max(active, key=lambda r: self.pos[r.slot])
             self._retire(victim)
             victim.preempts += 1
+            self._preempts += 1
             if victim.preempts > 3 or not victim.tokens:
                 victim.done = True
             else:
@@ -629,8 +637,30 @@ class PagedEngine:
             self.pos[slot] += 1
             self.cur[slot] = tok
             self._maybe_finish(req)
+            if req.done:
+                self._completed += 1
             emitted.append((req.req_id, tok, req.done))
+        self._steps += 1
+        self._tokens_out += len(emitted)
         return emitted
+
+    def stats(self) -> Dict[str, float]:
+        """Engine counters + live pool state (host-side, no device sync)."""
+        used = int(self.n_pages - 1 - len(self.free))
+        return {
+            "steps": self._steps,
+            "tokens_out": self._tokens_out,
+            "prefill_tokens": self._prefill_tokens,
+            "completed_requests": self._completed,
+            "preempts": self._preempts,
+            "queued": len(self.queue),
+            "active_slots": len(self._decoding()),
+            "prefilling_slots": len(self.prefilling),
+            "pages_used": used,
+            "pages_total": self.n_pages - 1,
+            "page_utilization": used / max(self.n_pages - 1, 1),
+            "kv_token_budget_free": self.free_token_budget(),
+        }
 
     def run(
         self,

@@ -255,6 +255,9 @@ class Engine:
         self.queue: List[_Request] = []
         self._next_id = 0
         self.key = jax.random.PRNGKey(seed)
+        self._steps = 0
+        self._tokens_out = 0
+        self._completed = 0
 
     # -- request management ------------------------------------------------
     def add_request(
@@ -348,8 +351,24 @@ class Engine:
             self.pos[slot] += 1
             self.cur[slot] = tok
             self._maybe_finish(req)
+            if req.done:
+                self._completed += 1
             emitted.append((req.req_id, tok, req.done))
+        self._steps += 1
+        self._tokens_out += len(emitted)
         return emitted
+
+    def stats(self) -> Dict[str, float]:
+        """Engine counters + live slot state (host-side, no device sync)."""
+        active = sum(1 for r in self.slot_req if r is not None)
+        return {
+            "steps": self._steps,
+            "tokens_out": self._tokens_out,
+            "completed_requests": self._completed,
+            "queued": len(self.queue),
+            "active_slots": active,
+            "slot_utilization": active / self.B,
+        }
 
     def run(
         self,
