@@ -77,3 +77,22 @@ def test_paged_forward_kernel_flag_matches(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
     )
+
+
+def test_db_kernel_matches_gather_path(rng):
+    """Double-buffered variant (manual DMA pipeline) parity, interpret mode."""
+    from lit_llama_ja_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_db,
+    )
+
+    q, kp, ks, vp, vs, tables = _setup(rng)
+    pos = jnp.asarray([5, 17, 30], jnp.int32)
+    got = np.asarray(
+        paged_decode_attention_db(q, kp, ks, vp, vs, tables, pos, interpret=True)
+    )
+    cache_l = {"k": kp, "v": vp, "k_scale": ks, "v_scale": vs}
+    gath = _gathered(cache_l, tables)
+    want = np.asarray(_paged_attention(q[:, :, None], gath, pos[:, None], True))[
+        :, :, 0
+    ]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
