@@ -38,17 +38,26 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
       ``(B, n_head, T, head_dim)``.
     """
     T, hd = q.shape[2], q.shape[3]
-    # hd == 128 only: the hd=64 variant compiles pathologically slowly on the
-    # current Mosaic toolchain (observed: >30 min for the 49M-config train step)
+    # Sub-128 head dims run zero-padded to the lane width: the kernel stays in
+    # its native hd=128 shape (compiling an hd=64 kernel variant triggers a
+    # Mosaic train-step compile pathology, ROADMAP item 6), the true softmax
+    # scale 1/sqrt(hd) is folded into q, and padded output columns are sliced
+    # off. Despite the bandwidth waste this measures 1.6x FASTER than the XLA
+    # softmax chain at hd=64, T=2048 (PERF.md) — and it covers every ja config
+    # (hd 64/78) for long-context training.
     use_flash = (
         jax.default_backend() == "tpu"
         and T >= 1024
         and T % 256 == 0
-        and hd == 128
+        and hd <= 128
     )
     if use_flash:
         from lit_llama_ja_tpu.ops.pallas.flash_attention import flash_attention
 
+        if hd < 128:
+            pad = ((0, 0), (0, 0), (0, 0), (0, 128 - hd))
+            qp = jnp.pad(q * jnp.asarray((128.0 / hd) ** 0.5, q.dtype), pad)
+            return flash_attention(qp, jnp.pad(k, pad), jnp.pad(v, pad))[..., :hd]
         return flash_attention(q, k, v)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     mask = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]

@@ -128,11 +128,17 @@ def _fwd(q, k, v, block_q, block_k, interpret):
 
 
 def _bwd(block_q, block_k, interpret, residuals, g):
-    # recompute-based backward through the XLA reference attention
-    from lit_llama_ja_tpu.ops.attention import causal_attention
+    # Recompute-based backward through the XLA reference attention. MUST call
+    # the _sdpa primitive directly: going through `ops.attention.causal_attention`
+    # would re-dispatch to flash_attention on TPU and recurse into this very
+    # function at trace time.
+    from lit_llama_ja_tpu.ops.attention import _sdpa
 
     q, k, v = residuals
-    _, vjp = jax.vjp(causal_attention, q, k, v)
+    T = q.shape[2]
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    mask = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
+    _, vjp = jax.vjp(lambda q, k, v: _sdpa(q, k, v, mask, scale), q, k, v)
     return vjp(g)
 
 
