@@ -272,3 +272,59 @@ def lora_checkpoint_to_native(sd: Dict, config: LLaMAConfig, alpha: float):
         "lora_B": jnp.asarray(np.stack(Bs)),
         "lora_alpha": jnp.full((L,), alpha, jnp.float32),
     }
+
+
+# ---------------------------------------------------------------------------
+# native -> HuggingFace (export; the reference only imports)
+# ---------------------------------------------------------------------------
+
+def _permute_hf(w: np.ndarray, n_head: int) -> np.ndarray:
+    """Apply HF's q/k rotary permutation (inverse of `_unpermute_hf`)."""
+    dim = w.shape[1]
+    return (
+        w.reshape(n_head, dim // n_head // 2, 2, dim)
+        .transpose(0, 2, 1, 3)
+        .reshape(dim, dim)
+    )
+
+
+def native_to_hf_state_dict(params, config: LLaMAConfig) -> Dict[str, np.ndarray]:
+    """Export a native param tree as a HF `LlamaForCausalLM` state dict.
+
+    Inverse of `hf_state_dict_to_lit` ∘ `lit_state_dict_to_native`: weights
+    transpose back to torch (out, in) layout, the fused qkv splits into
+    q/k/v_proj with HF's rotary permutation re-applied to q/k, and vocab
+    padding rows are trimmed back to ``config.vocab_size``. Round-trip and
+    HF-logit parity are tested (`tests/test_convert.py`).
+    """
+    blocks = params["blocks"]
+    V, D = config.vocab_size, config.n_embd
+    out: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(params["wte"]["weight"])[:V],
+        "lm_head.weight": np.asarray(params["lm_head"]["weight"]).T[:V],
+        "model.norm.weight": np.asarray(params["ln_f"]["scale"]),
+    }
+    for i in range(config.n_layer):
+        p = f"model.layers.{i}."
+        c_attn = np.asarray(blocks["attn"]["c_attn"]["weight"][i]).T  # (3D, D)
+        q, k, v = c_attn[:D], c_attn[D : 2 * D], c_attn[2 * D :]
+        out[p + "self_attn.q_proj.weight"] = _permute_hf(q, config.n_head)
+        out[p + "self_attn.k_proj.weight"] = _permute_hf(k, config.n_head)
+        out[p + "self_attn.v_proj.weight"] = v
+        out[p + "self_attn.o_proj.weight"] = np.asarray(
+            blocks["attn"]["c_proj"]["weight"][i]
+        ).T
+        out[p + "mlp.gate_proj.weight"] = np.asarray(
+            blocks["mlp"]["c_fc1"]["weight"][i]
+        ).T
+        out[p + "mlp.up_proj.weight"] = np.asarray(
+            blocks["mlp"]["c_fc2"]["weight"][i]
+        ).T
+        out[p + "mlp.down_proj.weight"] = np.asarray(
+            blocks["mlp"]["c_proj"]["weight"][i]
+        ).T
+        out[p + "input_layernorm.weight"] = np.asarray(blocks["rms_1"]["scale"][i])
+        out[p + "post_attention_layernorm.weight"] = np.asarray(
+            blocks["rms_2"]["scale"][i]
+        )
+    return out

@@ -171,3 +171,58 @@ def test_hf_golden_logit_parity(rng):
     np.testing.assert_allclose(
         ours[..., : cfg.vocab_size], hf_logits, atol=2e-4, rtol=1e-3
     )
+
+
+def test_native_to_hf_round_trip(rng):
+    """native -> HF sd -> lit sd -> native is the identity."""
+    from lit_llama_ja_tpu.io.convert import (
+        hf_state_dict_to_lit,
+        lit_state_dict_to_native,
+        native_to_hf_state_dict,
+    )
+    from lit_llama_ja_tpu.models.llama import init_params
+
+    cfg = LLaMAConfig(block_size=32, vocab_size=64, n_layer=2, n_head=4, n_embd=32)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    hf_sd = native_to_hf_state_dict(params, cfg)
+    back, _ = lit_state_dict_to_native(hf_state_dict_to_lit(hf_sd, cfg), cfg)
+    for path, want in jax.tree_util.tree_leaves_with_path(params):
+        got = back
+        for k in path:
+            got = got[k.key]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_native_to_hf_logit_parity(rng):
+    """Export to HF, load into transformers, require logit agreement."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    from lit_llama_ja_tpu.io.convert import native_to_hf_state_dict
+    from lit_llama_ja_tpu.models.llama import init_params
+
+    cfg = LLaMAConfig(block_size=32, vocab_size=64, n_layer=2, n_head=4, n_embd=32)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    hf_sd = native_to_hf_state_dict(params, cfg)
+    hf_cfg = HFConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.n_embd,
+        intermediate_size=cfg.n_hidden, num_hidden_layers=cfg.n_layer,
+        num_attention_heads=cfg.n_head, num_key_value_heads=cfg.n_head,
+        max_position_embeddings=cfg.block_size, rms_norm_eps=cfg.norm_eps,
+        rope_theta=float(cfg.rope_base), attention_bias=False, mlp_bias=False,
+        tie_word_embeddings=False,
+    )
+    with torch.no_grad():
+        hf_model = LlamaForCausalLM(hf_cfg).eval().to(torch.float32)
+        hf_model.load_state_dict(
+            {k: torch.from_numpy(v.copy()) for k, v in hf_sd.items()}
+        )
+        ids = rng.integers(0, cfg.vocab_size, size=(1, 12))
+        hf_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(
+        ours[..., : cfg.vocab_size], hf_logits, atol=2e-4, rtol=1e-3
+    )
