@@ -28,6 +28,8 @@ def main(
     page_size: int = 16,
     n_pages: int = 0,
     prefill_chunk: int = 0,
+    draft_checkpoint_path: str = "",
+    draft_k: int = 4,
     seed: int = 1234,
 ) -> None:
     """Serve a batch of prompts with continuous batching.
@@ -44,6 +46,10 @@ def main(
             ``max_batch * max_seq_length / page_size`` (paged only).
         prefill_chunk: interleave long-prompt prefill with decode in chunks of
             this many tokens (paged only); 0 = whole-prompt prefill.
+        draft_checkpoint_path: small-model checkpoint enabling batched
+            speculative decoding (paged only): up to draft_k+1 tokens per slot
+            per step, exact target distribution.
+        draft_k: drafted tokens per speculative round.
     """
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
     from lit_llama_ja_tpu.infer.paged import PagedEngine
@@ -67,13 +73,22 @@ def main(
 
     if paged:
         pool_pages = n_pages or (max_batch * max_seq_length) // page_size + 1
-        engine = PagedEngine(
-            params, config,
+        common = dict(
             max_batch=max_batch, n_pages=pool_pages, page_size=page_size,
             max_pages_per_slot=max(1, max_seq_length // page_size),
             quantize_kv=quantize_kv, eos_id=tokenizer.eos_id,
             prefill_chunk=prefill_chunk or None, seed=seed,
         )
+        if draft_checkpoint_path:
+            from lit_llama_ja_tpu.infer.spec_serving import SpeculativePagedEngine
+
+            dparams, dconfig = load_model_any(Path(draft_checkpoint_path), None)
+            engine = SpeculativePagedEngine(
+                params, config, draft_params=dparams, draft_config=dconfig,
+                draft_k=draft_k, **common,
+            )
+        else:
+            engine = PagedEngine(params, config, **common)
     else:
         engine = Engine(
             params, config,

@@ -1,0 +1,319 @@
+"""Batched speculative decoding inside the paged serving engine.
+
+Combines the two throughput levers: continuous batching amortizes the weight
+stream across slots, speculation amortizes it across tokens. Each engine step
+runs ONE draft+verify round for all active slots — the draft model proposes K
+tokens per slot (batched, its own paged KV pool), the target verifies all
+``K+1`` positions per slot in ONE batched forward, and the per-slot rejection
+chain emits ``accepted+1 ∈ [1, K+1]`` tokens with the output distribution
+exactly the target's (greedy output is bitwise the target-only engine's —
+tested).
+
+Infrastructure reuse: the draft pool is a second `init_page_pool` indexed by
+the SAME page tables (positions are identical per slot, only L/nh/hd differ),
+so the allocator, prefix sharing, preemption/resume, and chunked prefill all
+work unchanged — the draft cache is simply prefilled alongside the target's.
+
+Cache bookkeeping per round mirrors `infer/speculative` (write-then-mask for
+rejected suffixes; the draft consumes a (prev, cur) pair to fill the
+one-position hole an all-accepted round leaves), vectorized over slots.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.infer.paged import (
+    PagedEngine,
+    PagePool,
+    init_page_pool,
+    paged_forward,
+)
+
+
+def _dist_batch(logits, temps, top_k, top_p):
+    """Per-slot sampling distributions (B, V): temperature array (0 = greedy
+    point mass), engine-wide static top-k/top-p. Mirrors
+    `ops/sampling.sample_token` filter order."""
+    logits = logits.astype(jnp.float32)
+    safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
+    scaled = logits / safe_t
+    if top_k is not None:
+        kth = jax.lax.top_k(scaled, min(top_k, scaled.shape[-1]))[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p is not None and top_p < 1.0:
+        from lit_llama_ja_tpu.ops.sampling import top_p_filter
+
+        scaled = top_p_filter(scaled, top_p)
+    sampled = jax.nn.softmax(scaled, axis=-1)
+    greedy = jax.nn.one_hot(
+        jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32
+    )
+    return jnp.where((temps > 0)[:, None], sampled, greedy)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "K", "quantized", "top_k", "top_p"),
+    donate_argnums=(6, 7),
+)
+def _batched_spec_round(
+    tparams,
+    dparams,
+    prev: jax.Array,  # (B,) token at pos-1 (cached in both pools)
+    cur: jax.Array,  # (B,) token at pos (not yet in any cache)
+    pos: jax.Array,  # (B,)
+    tables: jax.Array,  # (B, AP)
+    tpool: PagePool,
+    dpool: PagePool,
+    key: jax.Array,
+    temps: jax.Array,  # (B,)
+    tcfg: LLaMAConfig,
+    dcfg: LLaMAConfig,
+    K: int,
+    quantized: bool,
+    top_k: Optional[int],
+    top_p: Optional[float],
+) -> Tuple[jax.Array, jax.Array, PagePool, PagePool]:
+    """One batched draft+verify round; returns (tokens (B, K+1), n_out (B,),
+    target pool, draft pool). ``tokens[b, :n_out[b]]`` are slot b's new tokens."""
+    B = cur.shape[0]
+    kd, kacc, kfin = jax.random.split(key, 3)
+
+    # --- draft: (prev, cur) pair, then K-1 batched single steps -------------
+    pair = jnp.stack([prev, cur], axis=1)  # (B, 2)
+    pair_pos = jnp.stack([pos - 1, pos], axis=1)
+    logits, dpool = paged_forward(
+        dparams, pair, pair_pos, tables, dpool, dcfg, False
+    )
+    d_keys = jax.random.split(kd, K)
+    p0 = _dist_batch(logits[:, -1], temps, top_k, top_p)  # (B, V)
+    tok0 = jax.random.categorical(d_keys[0], jnp.log(p0 + 1e-30), axis=-1).astype(
+        jnp.int32
+    )
+
+    def dstep(carry, k_i):
+        dpool, tok, p = carry
+        logits, dpool = paged_forward(
+            dparams, tok[:, None], p[:, None], tables, dpool, dcfg, False
+        )
+        probs = _dist_batch(logits[:, -1], temps, top_k, top_p)
+        nxt = jax.random.categorical(k_i, jnp.log(probs + 1e-30), axis=-1).astype(
+            jnp.int32
+        )
+        return (dpool, nxt, p + 1), (tok, probs)
+
+    (dpool, last_draft, _), (consumed, probs_out) = jax.lax.scan(
+        dstep, (dpool, tok0, pos + 1), d_keys[1:]
+    )
+    # consumed: (K-1, B) = drafts[0..K-2]; probs_out: (K-1, B, V) = p_d[1..K-1]
+    draft_toks = jnp.concatenate(
+        [jnp.moveaxis(consumed, 0, 1), last_draft[:, None]], axis=1
+    )  # (B, K)
+    p_d = jnp.concatenate(
+        [p0[:, None], jnp.moveaxis(probs_out, 0, 1)], axis=1
+    )  # (B, K, V)
+
+    # --- target: verify all K+1 positions per slot in one forward -----------
+    tin = jnp.concatenate([cur[:, None], draft_toks], axis=1)  # (B, K+1)
+    tpos = pos[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None]
+    tlogits, tpool = paged_forward(
+        tparams, tin, tpos, tables, tpool, tcfg, quantized
+    )
+    BV = tlogits.shape[-1]
+    p_t = _dist_batch(
+        tlogits.reshape(B * (K + 1), BV),
+        jnp.repeat(temps, K + 1),
+        top_k,
+        top_p,
+    ).reshape(B, K + 1, BV)
+
+    # --- per-slot rejection chain -------------------------------------------
+    u = jax.random.uniform(kacc, (B, K))
+    pt_x = jnp.take_along_axis(p_t[:, :K], draft_toks[..., None], axis=2)[..., 0]
+    pd_x = jnp.take_along_axis(p_d, draft_toks[..., None], axis=2)[..., 0]
+    accept = u < jnp.minimum(1.0, pt_x / jnp.maximum(pd_x, 1e-30))
+    keep = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+    n_acc = keep.sum(axis=1)  # (B,)
+
+    barange = jnp.arange(B)
+    p_t_at = p_t[barange, n_acc]  # (B, V)
+    p_d_at = jnp.where(
+        (n_acc == K)[:, None],
+        jnp.zeros_like(p_t_at),
+        p_d[barange, jnp.minimum(n_acc, K - 1)],
+    )
+    resid = jnp.maximum(p_t_at - p_d_at, 0.0)
+    rs = resid.sum(axis=1, keepdims=True)
+    final_dist = jnp.where(rs > 1e-30, resid / jnp.maximum(rs, 1e-30), p_t_at)
+    final = jax.random.categorical(
+        kfin, jnp.log(final_dist + 1e-30), axis=-1
+    ).astype(jnp.int32)
+
+    tokens = jnp.concatenate(
+        [draft_toks, jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    tokens = tokens.at[barange, n_acc].set(final)
+    return tokens, n_acc + 1, tpool, dpool
+
+
+class SpeculativePagedEngine(PagedEngine):
+    """Paged continuous-batching engine whose decode step is a batched
+    speculative round: up to ``draft_k + 1`` tokens per slot per step."""
+
+    def __init__(
+        self,
+        params,
+        config: LLaMAConfig,
+        *,
+        draft_params,
+        draft_config: LLaMAConfig,
+        draft_k: int = 4,
+        **kwargs,
+    ):
+        super().__init__(params, config, **kwargs)
+        self.dparams = draft_params
+        self.dcfg = draft_config
+        self.K = draft_k
+        # draft pool shares the page TABLES (same positions); bf16 values —
+        # the draft is small, quantizing its cache buys nothing
+        self.dpool = init_page_pool(
+            draft_config, self.n_pages, self.page, jnp.bfloat16, quantized=False
+        )
+        self.prev = np.zeros(self.B, np.int32)
+
+    # -- hooks into the base engine's prefill/admission ---------------------
+    def _prefill_span(self, toks, start_pos, table_pages, want_logits=True):
+        """Prefill BOTH pools over the same span (the draft model sees the
+        same tokens at the same positions through the same tables)."""
+        if len(toks) == 0:
+            raise ValueError(
+                "speculative engine requires a non-empty prefill span "
+                "(give requests at least one prompt token past the prefix)"
+            )
+        logits = super()._prefill_span(toks, start_pos, table_pages, want_logits)
+        # draft-side prefill (reuse the parent's bucketing/table logic by
+        # calling paged_forward directly with the same shapes)
+        from lit_llama_ja_tpu.infer.generate import bucket_length
+
+        T = len(toks)
+        P = bucket_length(T)
+        ap = bucket_length((start_pos + P + self.page - 1) // self.page, minimum=1)
+        table = np.zeros(ap, np.int32)
+        usable = min(len(table_pages), ap)
+        table[:usable] = table_pages[:usable]
+        padded = np.zeros(P, np.int32)
+        padded[:T] = toks
+        posv = start_pos + np.arange(P, dtype=np.int32)
+        _, self.dpool = paged_forward(
+            self.dparams,
+            jnp.asarray(padded[None]),
+            jnp.asarray(posv[None]),
+            jnp.asarray(table[None]),
+            self.dpool,
+            self.dcfg,
+            False,
+        )
+        return logits
+
+    def _activate(self, slot, req, logits, resuming, total_len):
+        # token at total_len - 1 is the last prefilled one = `prev` for round 1
+        if resuming and len(req.tokens) >= 2:
+            self.prev[slot] = req.tokens[-2]
+        elif len(req.prompt):
+            self.prev[slot] = req.prompt[-1]
+        else:
+            # prompt fully covered by a shared prefix: use the prefix tail
+            _, sprefix_tail = self._prefixes[req.prefix_id]
+            self.prev[slot] = sprefix_tail[-1]
+        super()._activate(slot, req, logits, resuming, total_len)
+
+    def _ensure_capacity(self) -> bool:
+        """Reserve pages for the whole speculative horizon (pos..pos+K)."""
+        for slot, req in enumerate(self.slot_req):
+            if req is None or slot in self.prefilling:
+                continue
+            needed = (int(self.pos[slot]) + self.K) // self.page
+            while needed >= self.n_owned[slot]:
+                got = self._alloc(1)
+                if got is None:
+                    return False
+                self.tables[slot, self.n_owned[slot]] = got[0]
+                self.n_owned[slot] += 1
+        return True
+
+    # -- stepping ------------------------------------------------------------
+    def step(self) -> List[Tuple[int, int, bool]]:
+        self._admit()
+        self._advance_prefills()
+        while not self._ensure_capacity():
+            active = self._decoding()
+            if not active:
+                return []
+            victim = max(active, key=lambda r: self.pos[r.slot])
+            self._retire(victim)
+            victim.preempts += 1
+            self._preempts += 1
+            if victim.preempts > 3 or not victim.tokens:
+                victim.done = True
+            else:
+                self.queue.insert(0, victim)
+        active = self._decoding()
+        if not active:
+            return []
+        from lit_llama_ja_tpu.infer.generate import bucket_length
+
+        max_pages = max(
+            (int(self.pos[r.slot]) + self.K) // self.page + 1 for r in active
+        )
+        ap = min(bucket_length(max_pages, minimum=1), self.maxP)
+        self.key, sub = jax.random.split(self.key)
+        tokens, n_out, self.pool, self.dpool = _batched_spec_round(
+            self.params,
+            self.dparams,
+            jnp.asarray(self.prev),
+            jnp.asarray(self.cur),
+            jnp.asarray(self.pos),
+            jnp.asarray(self.tables[:, :ap]),
+            self.pool,
+            self.dpool,
+            sub,
+            jnp.asarray(self.temps),
+            self.config,
+            self.dcfg,
+            self.K,
+            self.quantized,
+            self.top_k,
+            self.top_p,
+        )
+        tokens = np.asarray(tokens)  # (B, K+1)
+        n_out = np.asarray(n_out)
+        emitted = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None or slot in self.prefilling:
+                continue
+            budget = req.max_new_tokens - len(req.tokens)
+            n = min(int(n_out[slot]), budget)
+            toks = tokens[slot, :n].tolist()
+            if self.eos_id is not None and self.eos_id in toks:
+                n = toks.index(self.eos_id) + 1
+                toks = toks[:n]
+            req.tokens.extend(toks)
+            self.pos[slot] += n
+            self.prev[slot] = (
+                toks[-2] if n >= 2 else int(self.cur[slot])
+            )
+            self.cur[slot] = toks[-1]
+            self._maybe_finish(req)
+            if req.done:
+                self._completed += 1
+            for t in toks:
+                emitted.append((req.req_id, t, req.done))
+        self._steps += 1
+        self._tokens_out += len(emitted)
+        return emitted
