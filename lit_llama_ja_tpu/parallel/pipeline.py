@@ -42,7 +42,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from lit_llama_ja_tpu.core.config import LLaMAConfig
 from lit_llama_ja_tpu.models.llama import transformer_block
@@ -189,7 +189,7 @@ def pipeline_forward(
         mesh=mesh,
         in_specs=(pspecs, idx_spec),
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     def inner(params, idx):
         s = jax.lax.axis_index(axis)

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _fold_block(m, l, acc, q, k_blk, v_blk, col_offset, row_offset):
@@ -79,7 +79,7 @@ def ring_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     def inner(q_loc, k_loc, v_loc):
         B, nh, Tb, hd = q_loc.shape

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _offset_causal_sdpa(q, k, v, row_offset):
@@ -68,7 +68,7 @@ def sequence_parallel_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     def inner(q_loc, k_loc, v_loc):
         k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)
