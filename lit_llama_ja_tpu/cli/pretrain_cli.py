@@ -68,6 +68,7 @@ def main(
     out_dir: str = "out/training",
     load_dir: Optional[str] = None,
     restart_iter: int = 0,
+    resume: Optional[str] = None,
     learning_rate: float = 8e-4,
     weight_decay: float = 0.1,
     micro_batch_size: int = 4,
@@ -89,10 +90,20 @@ def main(
 
     Distribution: a ('dp','fsdp','tp') mesh replaces DeepSpeed ZeRO-1/FSDP; pass the
     axis sizes (fsdp=-1 = all remaining devices).
+
+    Resume: ``--resume <out_dir>/state-latest`` restores the FULL training state
+    (params, optimizer moments, iteration, exact data position) — beyond the
+    reference, whose restart reloads weights only. ``--load-dir``/``--restart-iter``
+    keep the reference's weights-only restart semantics.
     """
     from lit_llama_ja_tpu.core.config import LLaMAConfig
     from lit_llama_ja_tpu.data.packed_dataset import batch_iterator
-    from lit_llama_ja_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from lit_llama_ja_tpu.io.checkpoint import (
+        load_checkpoint,
+        load_train_state,
+        save_checkpoint,
+        save_train_state,
+    )
     from lit_llama_ja_tpu.models import llama
     from lit_llama_ja_tpu.parallel.mesh import make_mesh
     from lit_llama_ja_tpu.parallel.specs import shard_params
@@ -127,10 +138,17 @@ def main(
         learning_rate, warmup_iters, max_iters, learning_rate / 10
     )
     opt = make_adamw(schedule, weight_decay=weight_decay, grad_clip=grad_clip)
+    opt_state = init_opt_state(opt, params)
+    if resume:
+        print(f"resuming full training state from {resume}")
+        params, opt_state, _, meta = load_train_state(
+            resume, params_template=params, opt_state_template=opt_state
+        )
+        restart_iter = int(meta.get("iter", -1)) + 1
+        print(f"-> continuing from iter {restart_iter}")
     step = jit_train_step(
         make_train_step(config, opt, remat=remat), mesh=mesh, params=params
     )
-    opt_state = init_opt_state(opt, params)
 
     grad_accum = max(batch_size // mesh.devices.size // micro_batch_size, 1)
     # prefer the native C++ prefetching reader for single-source dirs; the Python
@@ -179,6 +197,12 @@ def main(
     def save_fn(params, iter_num):
         save_checkpoint(Path(out_dir) / f"iter-{iter_num:06d}-ckpt", params, config)
 
+    def save_state_fn(params, opt_state, iter_num):
+        save_train_state(
+            Path(out_dir) / "state-latest", params, opt_state, config,
+            meta={"iter": iter_num},
+        )
+
     loop_cfg = TrainLoopConfig(
         max_iters=max_iters, log_interval=log_interval,
         eval_interval=eval_interval, save_interval=save_interval,
@@ -189,7 +213,7 @@ def main(
     params, opt_state = train_loop(
         step, params, opt_state, batches, loop_cfg,
         lr_schedule=schedule, validate_fn=validate_fn, save_fn=save_fn,
-        restart_iter=restart_iter,
+        save_state_fn=save_state_fn, restart_iter=restart_iter,
     )
     print(f"Saving checkpoint to {out_dir}")
     save_checkpoint(Path(out_dir) / f"iter-{max_iters:06d}-ckpt", params, config)

@@ -116,3 +116,47 @@ def load_state_npz(path):
 def infer_model_name(n_embd: int) -> str:
     """Shape-based model lookup (reference `llama_model_lookup`)."""
     return llama_model_lookup(n_embd)
+
+
+# ---------------------------------------------------------------------------
+# Full training state (params + optimizer + progress) — true resume.
+# The reference restart (`pretrain/redpajama.py:104,216`) reloads weights only:
+# optimizer moments and the data position are lost. Here all of it round-trips.
+# ---------------------------------------------------------------------------
+
+def save_train_state(
+    path, params, opt_state, config: Optional[LLaMAConfig] = None,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Save params + optimizer state (+ JSON metadata, e.g. {"iter": n})."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "params", params, force=True)
+        ckptr.save(path / "opt_state", opt_state, force=True)
+    if config is not None:
+        (path / "config.json").write_text(json.dumps(dataclasses.asdict(config)))
+    (path / "meta.json").write_text(json.dumps(meta or {}))
+
+
+def load_train_state(path, *, params_template=None, opt_state_template=None):
+    """Load a `save_train_state` checkpoint.
+
+    ``opt_state_template`` (e.g. ``optimizer.init(params)``) is required to
+    restore optax's namedtuple structure. Returns
+    (params, opt_state, config-or-None, meta dict).
+    """
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(path / "params", params_template)
+        opt_state = ckptr.restore(path / "opt_state", opt_state_template)
+    config = None
+    cfg_file = path / "config.json"
+    if cfg_file.exists():
+        config = LLaMAConfig(**json.loads(cfg_file.read_text()))
+    meta = json.loads((path / "meta.json").read_text())
+    return params, opt_state, config, meta

@@ -42,6 +42,7 @@ def train_loop(
     lr_schedule: Optional[Callable] = None,
     validate_fn: Optional[Callable] = None,  # (params) -> float
     save_fn: Optional[Callable] = None,  # (params, iter_num) -> None
+    save_state_fn: Optional[Callable] = None,  # (params, opt_state, iter) -> None
     restart_iter: int = 0,
 ):
     """Run the loop; returns (params, opt_state).
@@ -49,7 +50,12 @@ def train_loop(
     ``batches`` yields micro-batches; ``grad_accum_steps`` of them are stacked into
     one device batch per optimizer step (in-jit accumulation, see `train/step.py`).
     ``restart_iter`` offsets the counter on resume (reference
-    `pretrain/redpajama.py:104,216`).
+    `pretrain/redpajama.py:104,216`). ``save_state_fn`` additionally checkpoints
+    the FULL training state (optimizer moments included) each save interval.
+
+    A non-finite loss aborts immediately: the optimizer update for that step has
+    already been applied, so the parameters can no longer be trusted — resume
+    from the last checkpoint instead of training forward on poison.
     """
     metrics_path = Path(cfg.metrics_file) if cfg.metrics_file else None
     step_count = 0
@@ -68,6 +74,11 @@ def train_loop(
         t0 = time.time()
         params, opt_state, loss = step_fn(params, opt_state, batch)
         loss = float(loss)
+        if not np.isfinite(loss):
+            raise FloatingPointError(
+                f"non-finite loss ({loss}) at iter {iter_num}; parameters are "
+                "already updated with it — resume from the last checkpoint"
+            )
         step_count += 1
         t1 = time.time()
 
@@ -110,9 +121,12 @@ def train_loop(
                         + "\n"
                     )
 
-        if save_fn is not None and step_count % cfg.save_interval == 0:
-            print(f"Saving checkpoint at iter {iter_num}")
-            save_fn(params, iter_num)
+        if step_count % cfg.save_interval == 0:
+            if save_fn is not None:
+                print(f"Saving checkpoint at iter {iter_num}")
+                save_fn(params, iter_num)
+            if save_state_fn is not None:
+                save_state_fn(params, opt_state, iter_num)
 
     return params, opt_state
 

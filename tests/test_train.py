@@ -2,6 +2,8 @@
 PEFT partitioning, and the sharded step on the simulated mesh."""
 import math
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,3 +110,60 @@ def test_sharded_train_step_matches_unsharded(rng):
     opt_state2 = init_opt_state(opt, sharded)
     _, _, loss_sharded = sstep(sharded, opt_state2, batch)
     np.testing.assert_allclose(float(loss_ref), float(loss_sharded), atol=1e-5)
+
+
+def test_train_state_checkpoint_resume_exact(tmp_path, rng):
+    """Train 6 steps straight vs train 3 + full-state save/load + 3 more:
+    identical parameters (optimizer moments included — the reference's restart
+    loses them)."""
+    import optax
+
+    from lit_llama_ja_tpu.io.checkpoint import load_train_state, save_train_state
+
+    cfg = LLaMAConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2, n_embd=16)
+    opt = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.1)
+    step = jax.jit(make_train_step(cfg, opt))
+    batches = [
+        jnp.asarray(rng.integers(0, 64, (1, 2, 17)), jnp.int32) for _ in range(6)
+    ]
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+    for b in batches:
+        params, opt_state, _ = step(params, opt_state, b)
+    want = params
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+    for b in batches[:3]:
+        params, opt_state, _ = step(params, opt_state, b)
+    save_train_state(
+        tmp_path / "state", params, opt_state, cfg, meta={"iter": 2}
+    )
+    # fresh process simulation: templates from scratch
+    p0 = init_params(jax.random.PRNGKey(0), cfg)
+    params2, opt_state2, cfg2, meta = load_train_state(
+        tmp_path / "state", params_template=p0, opt_state_template=opt.init(p0)
+    )
+    assert meta["iter"] == 2 and cfg2.n_embd == cfg.n_embd
+    for b in batches[3:]:
+        params2, opt_state2, _ = step(params2, opt_state2, b)
+    for pa, pb in zip(jax.tree.leaves(want), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-7)
+
+
+def test_train_loop_aborts_on_nan():
+    from lit_llama_ja_tpu.train.trainer import TrainLoopConfig, train_loop
+
+    def bad_step(params, opt_state, batch):
+        return params, opt_state, float("nan")
+
+    def batches():
+        while True:
+            yield np.zeros((2, 17), np.int64)
+
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        train_loop(
+            bad_step, {}, {}, batches(),
+            TrainLoopConfig(max_iters=3, grad_accum_steps=1, log_interval=100),
+        )
