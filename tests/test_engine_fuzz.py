@@ -1,0 +1,120 @@
+"""Randomized engine fuzzing: staggered arrivals, mixed lengths, a pool small
+enough to force queueing/preemption, eos — every finished output must equal
+its single-stream `generate` result exactly (greedy). Also: PEFT param trees
+(LoRA / adapter-v2) serve through the engines unchanged (the leaf-dispatch in
+`apply_linear` is layout-independent)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.infer.generate import generate
+from lit_llama_ja_tpu.infer.paged import PagedEngine
+from lit_llama_ja_tpu.models.llama import init_params
+
+CFG = LLaMAConfig(block_size=64, vocab_size=64, n_layer=2, n_head=4, n_embd=32)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_fuzz_staggered_arrivals_exact(model):
+    """Requests arrive mid-flight (staggered), the pool is tight (13 pages for
+    3 slots -> constant queueing/preemption), prefill is chunked. Collect every
+    request's tokens from the step() stream and compare to generate()."""
+    rng = np.random.default_rng(777)
+    eng = PagedEngine(
+        model, CFG, max_batch=3, n_pages=13, page_size=4, prefill_chunk=8
+    )
+    jobs = {}  # rid -> (prompt, max_new)
+    collected = {}  # rid -> [tokens]
+    next_arrival = 0
+    n_jobs = 12
+    for step_i in range(600):
+        if step_i >= next_arrival and len(jobs) < n_jobs:
+            T = int(rng.integers(1, 20))
+            mnt = int(rng.integers(1, 14))
+            prompt = rng.integers(0, 64, (T,)).astype(np.int32)
+            rid = eng.add_request(prompt, mnt)
+            jobs[rid] = (prompt, mnt)
+            collected[rid] = []
+            next_arrival = step_i + int(rng.integers(1, 5))
+        for rid, tok, done in eng.step():
+            collected[rid].append(tok)
+        if (
+            len(jobs) == n_jobs
+            and not eng.queue
+            and not eng.prefilling
+            and all(r is None for r in eng.slot_req)
+        ):
+            break
+    else:
+        pytest.fail("engine did not drain the fuzz workload")
+    for rid, (p, mnt) in jobs.items():
+        want = np.asarray(generate(model, CFG, jnp.asarray(p), mnt, temperature=0.0))
+        # the step() stream includes the admission token via the first emission?
+        # No: the first sampled token is appended at admission, not emitted by
+        # step(); reconstruct from the request objects' full history instead.
+        got = np.asarray(collected[rid], np.int32)
+        np.testing.assert_array_equal(
+            got, want[len(p) + 1 :],
+            err_msg=f"rid {rid}: prompt len {len(p)}, max_new {mnt}",
+        )
+
+
+def test_fuzz_mixed_eos_and_lengths(model):
+    rng = np.random.default_rng(31337)
+    # pick an eos that actually occurs in some greedy streams
+    probe = np.asarray(
+        generate(model, CFG, jnp.asarray(rng.integers(0, 64, (5,)).astype(np.int32)),
+                 8, temperature=0.0)
+    )
+    eos = int(probe[-1])
+    prompts = [rng.integers(0, 64, (int(rng.integers(1, 25)),)).astype(np.int32)
+               for _ in range(8)]
+    mnts = [int(rng.integers(1, 12)) for _ in range(8)]
+    eng = PagedEngine(
+        model, CFG, max_batch=2, n_pages=11, page_size=4, eos_id=eos
+    )
+    outs = eng.run(list(zip(prompts, mnts)))
+    for i, (p, mnt) in enumerate(zip(prompts, mnts)):
+        want = np.asarray(
+            generate(model, CFG, jnp.asarray(p), mnt, temperature=0.0, eos_id=eos)
+        )
+        np.testing.assert_array_equal(outs[i], want, err_msg=f"request {i}")
+
+
+def test_lora_tree_serves(model, rng):
+    from lit_llama_ja_tpu.models.lora import add_lora, init_lora_params
+
+    lora = init_lora_params(jax.random.PRNGKey(5), CFG, r=4, alpha=8.0)
+    # non-zero B so LoRA actually changes the function
+    lora["lora_B"] = jax.random.normal(
+        jax.random.PRNGKey(6), lora["lora_B"].shape, jnp.float32
+    ) * 0.05
+    params = add_lora(model, lora)
+    prompt = rng.integers(0, 64, (6,)).astype(np.int32)
+    want = np.asarray(generate(params, CFG, jnp.asarray(prompt), 8, temperature=0.0))
+    base = np.asarray(generate(model, CFG, jnp.asarray(prompt), 8, temperature=0.0))
+    assert not np.array_equal(want, base)  # LoRA is live
+    eng = PagedEngine(params, CFG, max_batch=2, n_pages=32, page_size=4)
+    out = eng.run([(prompt, 8)])
+    np.testing.assert_array_equal(out[0], want)
+
+
+def test_adapter_v2_tree_serves(model, rng):
+    from lit_llama_ja_tpu.models.adapter import add_adapter_v2
+
+    params = add_adapter_v2(model)
+    # perturb scales so the patched forward differs from base
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    sc = params["blocks"]["attn"]["c_proj"]["adapter_scale"]
+    params["blocks"]["attn"]["c_proj"]["adapter_scale"] = sc * 1.1
+    prompt = rng.integers(0, 64, (5,)).astype(np.int32)
+    want = np.asarray(generate(params, CFG, jnp.asarray(prompt), 7, temperature=0.0))
+    eng = PagedEngine(params, CFG, max_batch=2, n_pages=32, page_size=4)
+    out = eng.run([(prompt, 7)])
+    np.testing.assert_array_equal(out[0], want)
