@@ -50,10 +50,13 @@ def init_page_pool(
     n_pages: int,
     page_size: int,
     dtype=jnp.bfloat16,
-    quantized: bool = False,
+    quantized=False,
 ) -> PagePool:
     """Zero page pool ``(L, n_pages, nh, page_size, hd)`` (+ per-token scales
-    ``(L, n_pages, nh, page_size)`` if INT8).
+    ``(L, n_pages, nh, page_size)`` when quantized).
+
+    ``quantized``: False | True/"int8" | "int4" (packed 2/byte along hd —
+    quarter the KV traffic; see `ops/attention.quantize_kv4`).
 
     Heads-major layout: a page block ``(nh, page, hd)`` feeds both the XLA
     einsum path (matches `decode_attention`'s ``bhsd``) and the Pallas decode
@@ -65,8 +68,16 @@ def init_page_pool(
     shape = (
         config.n_layer, n_pages, config.n_head, page_size, config.head_dim
     )
+    sshape = shape[:-1]
+    if quantized == "int4":
+        pshape = shape[:-1] + (config.head_dim // 2,)
+        return {
+            "k": jnp.zeros(pshape, jnp.uint8),
+            "v": jnp.zeros(pshape, jnp.uint8),
+            "k_scale": jnp.ones(sshape, jnp.float32),
+            "v_scale": jnp.ones(sshape, jnp.float32),
+        }
     if quantized:
-        sshape = shape[:-1]
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
@@ -95,12 +106,28 @@ def _gathered(cache_l: Dict[str, jax.Array], tables: jax.Array):
 def _paged_attention(q, gath, pos, quantized):
     """q: (B, nh, T, hd); gath leaves (B, nh, S, hd) (S = AP·page);
     pos: (B, T) absolute positions of the query tokens. Same masked-softmax /
-    folded-scale math as `ops/attention.decode_attention_quant`, generalized to
-    T query tokens (prefill) and per-(slot, token) positions."""
+    folded-scale math as `ops/attention.decode_attention_quant`(`4`),
+    generalized to T query tokens (prefill) and per-(slot, token) positions."""
     S = gath["k"].shape[2]
     slot = jnp.arange(S, dtype=pos.dtype)
     mask = (slot[None, None, :] <= pos[:, :, None])[:, None]  # (B, 1, T, S)
     scale = 1.0 / (q.shape[-1] ** 0.5)
+    if quantized and gath["k"].dtype == jnp.uint8:  # int4 packed
+        from lit_llama_ja_tpu.ops.attention import _unpack4
+
+        B, nh, T, hd = q.shape
+        lo, hi = _unpack4(gath["k"])
+        att = jnp.einsum(
+            "bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)
+        ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype))
+        att = att * gath["k_scale"][:, :, None, :].astype(jnp.float32)
+        att = jnp.where(mask, att * scale, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1)
+        att = (att * gath["v_scale"][:, :, None, :]).astype(q.dtype)
+        vlo, vhi = _unpack4(gath["v"])
+        ye = jnp.einsum("bhqs,bhsd->bhqd", att, vlo.astype(q.dtype))
+        yo = jnp.einsum("bhqs,bhsd->bhqd", att, vhi.astype(q.dtype))
+        return jnp.stack([ye, yo], axis=-1).reshape(B, nh, T, hd)
     if quantized:
         att = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype))
         att = att * gath["k_scale"][:, :, None, :].astype(jnp.float32)
@@ -169,7 +196,13 @@ def paged_forward(
         k = rot(k.reshape(B, T, nh, hd))
         v = v.reshape(B, T, nh, hd)
 
-        if quantized:
+        if quantized == "int4":
+            from lit_llama_ja_tpu.ops.attention import quantize_kv4
+
+            kq, ks, vq, vs = quantize_kv4(k, v)
+            writes = {"k": kq, "v": vq,
+                      "k_scale": ks[..., 0], "v_scale": vs[..., 0]}
+        elif quantized:
             # quantize_kv reduces over the trailing hd axis only — works on the
             # (B, T, nh, hd) layout directly
             kq, ks, vq, vs = quantize_kv(k, v)
@@ -183,7 +216,7 @@ def paged_forward(
             key: cache_l[key].at[page_idx, :, offs].set(val)
             for key, val in writes.items()
         }
-        if use_kernel and T == 1 and quantized:
+        if use_kernel and T == 1 and quantized and quantized != "int4":
             from lit_llama_ja_tpu.ops.pallas.paged_attention import (
                 paged_decode_attention,
             )

@@ -87,17 +87,27 @@ def init_kv_cache(
     batch_size: int,
     max_seq_length: int,
     dtype: jnp.dtype = jnp.float32,
-    quantized: bool = False,
+    quantized=False,
 ) -> KVCache:
     """Zero-filled KV cache pytree: ``(L, B, n_head, max_seq_length, head_dim)``.
 
-    ``quantized=True`` stores INT8 values + per-slot f32 absmax scales (halves the
-    per-token decode HBM traffic of the cache; see
-    `ops/attention.decode_attention_quant`).
+    ``quantized``: False | True/"int8" | "int4". INT8 stores per-slot absmax
+    scales (halves the decode HBM traffic of the cache,
+    `ops/attention.decode_attention_quant`); INT4 packs two values per byte
+    (quarters it, `ops/attention.decode_attention_quant4`; coarser — measure
+    quality with `tools/quality_gate.py --kv`).
     """
     shape = (config.n_layer, batch_size, config.n_head, max_seq_length, config.head_dim)
+    sshape = shape[:-1] + (1,)
+    if quantized == "int4":
+        pshape = shape[:-1] + (config.head_dim // 2,)
+        return {
+            "k": jnp.zeros(pshape, jnp.uint8),
+            "v": jnp.zeros(pshape, jnp.uint8),
+            "k_scale": jnp.ones(sshape, jnp.float32),
+            "v_scale": jnp.ones(sshape, jnp.float32),
+        }
     if quantized:
-        sshape = shape[:-1] + (1,)
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
@@ -196,6 +206,7 @@ def attention_block(
         new_cache = None
     else:
         quantized = "k_scale" in kv_cache
+        int4 = quantized and kv_cache["k"].dtype == jnp.uint8
         S = kv_cache["k"].shape[2]
         last_pos = input_pos[-1]
 
@@ -209,7 +220,15 @@ def attention_block(
             last_pos >= S, evict, lambda c, p: (c, p), kv_cache, input_pos
         )
 
-        if quantized:
+        if int4:
+            from lit_llama_ja_tpu.ops.attention import (
+                decode_attention_quant4,
+                quantize_kv4,
+            )
+
+            kq, ks, vq, vs = quantize_kv4(k, v)
+            writes = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+        elif quantized:
             from lit_llama_ja_tpu.ops.attention import (
                 decode_attention_quant,
                 quantize_kv,
@@ -229,7 +248,12 @@ def attention_block(
             for key, val in writes.items()
         }
 
-        if quantized:
+        if int4:
+            y = decode_attention_quant4(
+                q, cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
+                write_pos,
+            )
+        elif quantized:
             y = decode_attention_quant(
                 q, cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
                 write_pos,

@@ -147,3 +147,66 @@ def prefix_attention(q: jax.Array, ak: jax.Array, av: jax.Array) -> jax.Array:
     scale = 1.0 / (q.shape[-1] ** 0.5)
     mask = jnp.ones((1, 1, 1, ak.shape[2]), dtype=bool)
     return _sdpa(q, ak, av, mask, scale)
+
+
+def quantize_kv4(k: jax.Array, v: jax.Array):
+    """Per-(token, head) absmax INT4 quantization, packed 2 values/byte along
+    head_dim (even indices in the low nibble, odd in the high — the same
+    even/odd split the int4 weight kernel uses, so the attention contraction
+    never materializes an unpacked cache; see `decode_attention_quant4`).
+
+    k, v: (..., hd) with hd even -> (uint8 (..., hd/2), f32 scales (..., 1)).
+    """
+
+    def one(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7) + 8
+        q = q.astype(jnp.uint8)
+        lo = q[..., 0::2]
+        hi = q[..., 1::2]
+        return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+    kq, ks = one(k)
+    vq, vs = one(v)
+    return kq, ks, vq, vs
+
+
+def _unpack4(packed: jax.Array):
+    """(..., hd/2) uint8 -> centered int32 nibbles (lo=even dims, hi=odd)."""
+    p32 = packed.astype(jnp.int32)
+    return (p32 & 0xF) - 8, (p32 >> 4) - 8
+
+
+def decode_attention_quant4(
+    q: jax.Array,  # (B, nh, T, hd)
+    k_q: jax.Array,  # (B, nh, S, hd/2) uint8 packed
+    k_scale: jax.Array,  # (B, nh, S, 1) f32
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    input_pos: jax.Array,
+) -> jax.Array:
+    """Decode attention against an INT4-packed KV cache.
+
+    The packed bytes stream from HBM at nibble width; the q·k contraction
+    splits into even/odd halves (``q·k = q_even·lo + q_odd·hi``) and the p·v
+    output re-interleaves at the end — scales fold exactly as in
+    `decode_attention_quant`.
+    """
+    B, nh, T, hd = q.shape
+    S = k_q.shape[2]
+    scale = 1.0 / (hd**0.5)
+    slot = jnp.arange(S, dtype=input_pos.dtype)
+    mask = (slot[None, :] <= input_pos[:, None])[None, None]
+    lo, hi = _unpack4(k_q)
+    att = jnp.einsum("bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)) + jnp.einsum(
+        "bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype)
+    )
+    att = att * k_scale[..., 0][:, :, None, :].astype(jnp.float32)
+    att = jnp.where(mask, att * scale, -jnp.inf)
+    att = jax.nn.softmax(att, axis=-1)
+    att = (att * v_scale[..., 0][:, :, None, :]).astype(q.dtype)
+    vlo, vhi = _unpack4(v_q)
+    ye = jnp.einsum("bhqs,bhsd->bhqd", att, vlo.astype(q.dtype))
+    yo = jnp.einsum("bhqs,bhsd->bhqd", att, vhi.astype(q.dtype))
+    return jnp.stack([ye, yo], axis=-1).reshape(B, nh, T, hd)

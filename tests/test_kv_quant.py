@@ -79,3 +79,63 @@ def test_generate_with_quantized_kv(rng):
     # greedy tokens mostly agree with the fp cache (tiny random models are the
     # worst case for argmax flips)
     assert (np.asarray(out) == np.asarray(ref)).mean() > 0.6
+
+
+def test_quantize_kv4_roundtrip(rng):
+    from lit_llama_ja_tpu.ops.attention import _unpack4, quantize_kv4
+
+    k = jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32)
+    kq, ks, vq, vs = quantize_kv4(k, v)
+    assert kq.dtype == jnp.uint8 and kq.shape == (1, 2, 4, 4)
+    lo, hi = _unpack4(kq)
+    recon = np.empty((1, 2, 4, 8), np.float32)
+    recon[..., 0::2] = np.asarray(lo) * np.asarray(ks)
+    recon[..., 1::2] = np.asarray(hi) * np.asarray(ks)
+    # absmax int4: error bounded by scale/2
+    assert np.max(np.abs(recon - np.asarray(k))) <= np.max(np.asarray(ks)) / 2 + 1e-6
+
+
+def test_int4_cache_decode_close_to_fp(rng):
+    from lit_llama_ja_tpu.ops.attention import (
+        decode_attention,
+        decode_attention_quant4,
+        quantize_kv4,
+    )
+
+    B, nh, S, hd = 1, 4, 16, 16
+    q = jnp.asarray(rng.standard_normal((B, nh, 1, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, nh, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, nh, S, hd)), jnp.float32)
+    pos = jnp.asarray([S - 1], jnp.int32)
+    want = np.asarray(decode_attention(q, k, v, pos))
+    kq, ks, vq, vs = quantize_kv4(k, v)
+    got = np.asarray(decode_attention_quant4(q, kq, ks, vq, vs, pos))
+    # int4 is coarse: ~7% relative is the expected regime at these scales
+    assert np.max(np.abs(got - want)) < 0.15 * np.max(np.abs(want)) + 0.05
+
+
+def test_generate_with_int4_kv(rng):
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, (5,)), jnp.int32)
+    out = generate(params, CFG, prompt, 8, temperature=0.0, quantize_kv="int4")
+    assert len(out) == 13
+    assert (np.asarray(out) < CFG.vocab_size).all()
+
+
+def test_paged_engine_int4_kv(rng):
+    from lit_llama_ja_tpu.infer.paged import PagedEngine
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    prompt = rng.integers(0, CFG.vocab_size, (6,)).astype(np.int32)
+    eng = PagedEngine(
+        params, CFG, max_batch=2, n_pages=32, page_size=4, quantize_kv="int4"
+    )
+    out = eng.run([(prompt, 8)])
+    assert len(out[0]) == len(prompt) + 8
+    # int8 path still works and both produce in-vocab tokens
+    eng8 = PagedEngine(
+        params, CFG, max_batch=2, n_pages=32, page_size=4, quantize_kv="int8"
+    )
+    out8 = eng8.run([(prompt, 8)])
+    assert len(out8[0]) == len(prompt) + 8

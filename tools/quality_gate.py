@@ -42,7 +42,44 @@ def markov_corpus(vocab: int, n_tokens: int, seed: int, order_seed: int = 7):
     return out
 
 
-def main(steps: int = 300, gptq_groupsize: int = -1):
+def kv_cache_ppl(params, cfg, tokens: np.ndarray, quantize_kv, windows: int = 24):
+    """Teacher-forced perplexity through the CACHED decode path: prefill one
+    token, then decode each position with `forward_with_cache` so every logit
+    is produced by reading the (possibly quantized) KV cache — the quantity a
+    served user actually experiences. Full-sequence eval cannot see KV-cache
+    quantization at all (it never builds a cache)."""
+    import jax.numpy as jnp
+
+    from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
+
+    T = cfg.block_size
+
+    @jax.jit
+    def window_nll(params, seq):  # seq: (T+1,)
+        cache = init_kv_cache(cfg, 1, T, jnp.float32, quantized=quantize_kv)
+
+        def body(carry, t):
+            cache, nll = carry
+            logits, cache = forward_with_cache(
+                params, seq[t][None, None], t[None], cache, cfg
+            )
+            logp = jax.nn.log_softmax(logits[0, 0].astype(jnp.float32))
+            return (cache, nll - logp[seq[t + 1]]), None
+
+        (cache, nll), _ = jax.lax.scan(
+            body, (cache, jnp.float32(0.0)), jnp.arange(T, dtype=jnp.int32)
+        )
+        return nll
+
+    rng = np.random.default_rng(11)
+    ix = rng.integers(0, len(tokens) - T - 1, size=windows)
+    total = 0.0
+    for i in ix:
+        total += float(window_nll(params, jnp.asarray(tokens[i : i + T + 1])))
+    return float(np.exp(total / (windows * T)))
+
+
+def main(steps: int = 300, gptq_groupsize: int = -1, kv: bool = False, kv_windows: int = 24):
     cfg = LLaMAConfig(block_size=128, vocab_size=512, n_layer=4, n_head=8, n_embd=256)
     params = init_params(jax.random.PRNGKey(0), cfg)
 
@@ -79,13 +116,25 @@ def main(steps: int = 300, gptq_groupsize: int = -1):
     )
     ppl_int4 = perplexity(q4, cfg, eval_tokens, window=T)
 
-    print(json.dumps({
+    out = {
         "ppl_fp32": round(ppl_fp, 4),
         "ppl_int8": round(ppl_int8, 4),
         "ppl_gptq_int4": round(ppl_int4, 4),
         "delta_int8": round(ppl_int8 - ppl_fp, 4),
         "delta_int4": round(ppl_int4 - ppl_fp, 4),
-    }))
+    }
+    if kv:
+        kv_fp = kv_cache_ppl(params, cfg, eval_tokens, False, kv_windows)
+        kv_i8 = kv_cache_ppl(params, cfg, eval_tokens, "int8", kv_windows)
+        kv_i4 = kv_cache_ppl(params, cfg, eval_tokens, "int4", kv_windows)
+        out.update({
+            "kv_ppl_fp": round(kv_fp, 4),
+            "kv_ppl_int8": round(kv_i8, 4),
+            "kv_ppl_int4": round(kv_i4, 4),
+            "kv_delta_int8": round(kv_i8 - kv_fp, 4),
+            "kv_delta_int4": round(kv_i4 - kv_fp, 4),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
