@@ -145,7 +145,7 @@ def _paged_attention(q, gath, pos, quantized):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "quantized", "use_kernel"),
+    static_argnames=("config", "quantized", "use_kernel", "attn_chunk"),
     donate_argnums=(4,),
 )
 def paged_forward(
@@ -157,6 +157,7 @@ def paged_forward(
     config: LLaMAConfig,
     quantized: bool,
     use_kernel: bool = False,
+    attn_chunk: Optional[int] = None,
 ) -> Tuple[jax.Array, PagePool]:
     """One paged forward: write each token's k/v at ``(table[pos//page], pos%page)``,
     attend against the gathered pages (write-then-attend, so a slot's own new
@@ -164,6 +165,11 @@ def paged_forward(
 
     Unifies batched decode (T=1, B slots) and prefill (B=1, T tokens) — one
     compiled body for the whole serving engine.
+
+    ``attn_chunk``: process the decode attention ``attn_chunk`` slots at a time
+    (sequential `lax.map`). Above ~8 slots XLA stops fusing the page gather
+    into the attention einsum and materializes it — chunking keeps each piece
+    in the fused regime (measured: B=16 80.9 → 59.1 ms/step, PERF.md).
     """
     B, T = toks.shape
     page = pool["k"].shape[3]  # leaves are (L, n_pages, nh, page, hd)
@@ -227,6 +233,18 @@ def paged_forward(
                 cache_l["v"], cache_l["v_scale"],
                 tables, pos[:, 0],
             )[:, :, None].astype(x.dtype)  # (B, nh, 1, hd)
+        elif T == 1 and attn_chunk and attn_chunk < B and B % attn_chunk == 0:
+            qT = q.transpose(0, 2, 1, 3)  # (B, nh, 1, hd)
+            nc = B // attn_chunk
+            qc = qT.reshape(nc, attn_chunk, nh, 1, hd)
+            tc = tables.reshape(nc, attn_chunk, tables.shape[1])
+            pc = pos.reshape(nc, attn_chunk, 1)
+
+            def one(args):
+                qq, tt, pp = args
+                return _paged_attention(qq, _gathered(cache_l, tt), pp, quantized)
+
+            y = jax.lax.map(one, (qc, tc, pc)).reshape(B, nh, 1, hd)
         else:
             gath = _gathered(cache_l, tables)
             y = _paged_attention(q.transpose(0, 2, 1, 3), gath, pos, quantized)
@@ -246,7 +264,8 @@ def paged_forward(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "quantized", "top_k", "top_p", "use_kernel"),
+    static_argnames=("config", "quantized", "top_k", "top_p", "use_kernel",
+                     "attn_chunk"),
     donate_argnums=(4,),
 )
 def _paged_decode_and_sample(
@@ -262,12 +281,13 @@ def _paged_decode_and_sample(
     top_k: Optional[int],
     top_p: Optional[float] = None,
     use_kernel: bool = False,
+    attn_chunk: Optional[int] = None,
 ) -> Tuple[jax.Array, PagePool]:
     """Batched decode step + per-slot sampling in ONE device program (the host
     moves only B int32 tokens per step — PERF.md's ~50 ms host-gap lesson)."""
     logits, pool = paged_forward(
         params, toks[:, None], pos[:, None], tables, pool, config, quantized,
-        use_kernel,
+        use_kernel, attn_chunk,
     )
     logits = logits[:, 0].astype(jnp.float32)
     if top_k is not None:
@@ -348,6 +368,14 @@ class PagedEngine:
         self.slot_req: List[Optional[_PagedRequest]] = [None] * max_batch
         self.queue: List[_PagedRequest] = []
         self.prefill_chunk = prefill_chunk
+        # decode-attention batch chunk: above ~8 slots XLA stops fusing the
+        # page gather into the attention (PERF.md); 4-slot chunks keep it fused
+        self.attn_chunk = None
+        if max_batch > 8:
+            for c in (4, 3, 2):
+                if max_batch % c == 0:
+                    self.attn_chunk = c
+                    break
         # slot -> in-progress chunked prefill: the slot's real table row lives
         # here (self.tables row stays all-trash) so interleaved decode writes
         # for other slots can never land in a half-prefilled region
@@ -659,6 +687,8 @@ class PagedEngine:
             self.quantized,
             self.top_k,
             self.top_p,
+            False,
+            self.attn_chunk,
         )
         nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []

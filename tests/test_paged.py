@@ -258,3 +258,20 @@ def test_top_p_paged_engine(model, rng):
     out = eng.run([(prompt, 6)], temperature=0.9, top_p=0.8)
     assert len(out[0]) == len(prompt) + 6
     assert (out[0] >= 0).all() and (out[0] < CFG.vocab_size).all()
+
+
+def test_attn_chunk_outputs_identical(model, rng):
+    """attn_chunk changes XLA scheduling only — greedy outputs are exact, and
+    the auto-chunk kicks in for max_batch > 8."""
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=(n,)).astype(np.int32)
+        for n in (5, 9, 3, 7)
+    ]
+    plain = PagedEngine(model, CFG, max_batch=4, n_pages=48, page_size=4)
+    assert plain.attn_chunk is None
+    want = plain.run([(p, 8) for p in prompts])
+    chunked = PagedEngine(model, CFG, max_batch=12, n_pages=96, page_size=4)
+    assert chunked.attn_chunk == 4
+    got = chunked.run([(p, 8) for p in prompts])
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
