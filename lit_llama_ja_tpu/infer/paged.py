@@ -103,6 +103,24 @@ def _gathered(cache_l: Dict[str, jax.Array], tables: jax.Array):
     return out
 
 
+def _masked_softmax(att: jax.Array, mask: jax.Array) -> jax.Array:
+    """Softmax over masked scores that is NaN-proof in BOTH directions:
+
+    - an all-masked row (e.g. an idle slot whose query position is clamped
+      out of range) yields zero weights, not NaN (``jax.nn.softmax`` of an
+      all ``-inf`` row is NaN);
+    - masked slots get an EXACT 0.0 weight, so junk in the shared trash page
+      (page 0, written by idle slots) can never reach active slots through
+      the value einsum — IEEE ``0 * NaN = NaN`` would otherwise leak row-to-
+      row via shared pages. Observed: one idle slot NaN-poisoned the whole
+      batch's logits (the draft path of the speculative engine)."""
+    att = jnp.where(mask, att, -jnp.inf)
+    m = jnp.max(att, axis=-1, keepdims=True)
+    e = jnp.exp(att - jnp.where(jnp.isfinite(m), m, 0.0))
+    e = jnp.where(mask, e, 0.0)
+    return e / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
+
+
 def _paged_attention(q, gath, pos, quantized):
     """q: (B, nh, T, hd); gath leaves (B, nh, S, hd) (S = AP·page);
     pos: (B, T) absolute positions of the query tokens. Same masked-softmax /
@@ -121,8 +139,7 @@ def _paged_attention(q, gath, pos, quantized):
             "bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)
         ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype))
         att = att * gath["k_scale"][:, :, None, :].astype(jnp.float32)
-        att = jnp.where(mask, att * scale, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1)
+        att = _masked_softmax(att * scale, mask)
         att = (att * gath["v_scale"][:, :, None, :]).astype(q.dtype)
         vlo, vhi = _unpack4(gath["v"])
         ye = jnp.einsum("bhqs,bhsd->bhqd", att, vlo.astype(q.dtype))
@@ -131,15 +148,13 @@ def _paged_attention(q, gath, pos, quantized):
     if quantized:
         att = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype))
         att = att * gath["k_scale"][:, :, None, :].astype(jnp.float32)
-        att = jnp.where(mask, att * scale, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1)
+        att = _masked_softmax(att * scale, mask)
         att = att * gath["v_scale"][:, :, None, :]
         return jnp.einsum(
             "bhqs,bhsd->bhqd", att.astype(q.dtype), gath["v"].astype(q.dtype)
         )
     att = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype)) * scale
-    att = jnp.where(mask, att.astype(jnp.float32), -jnp.inf)
-    att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
+    att = _masked_softmax(att.astype(jnp.float32), mask).astype(q.dtype)
     return jnp.einsum("bhqs,bhsd->bhqd", att, gath["v"].astype(q.dtype))
 
 

@@ -87,7 +87,11 @@ def _batched_spec_round(
 
     # --- draft: (prev, cur) pair, then K-1 batched single steps -------------
     pair = jnp.stack([prev, cur], axis=1)  # (B, 2)
-    pair_pos = jnp.stack([pos - 1, pos], axis=1)
+    # clamp: idle slots sit at pos=0 and would otherwise query position -1 —
+    # an all-masked row whose NaN output poisons the shared trash page (active
+    # slots were NaN-poisoned through it before _masked_softmax hardened the
+    # attention; keep the positions in-range regardless)
+    pair_pos = jnp.stack([jnp.maximum(pos - 1, 0), pos], axis=1)
     logits, dpool = paged_forward(
         dparams, pair, pair_pos, tables, dpool, dcfg, False
     )
@@ -174,18 +178,45 @@ class SpeculativePagedEngine(PagedEngine):
         draft_params,
         draft_config: LLaMAConfig,
         draft_k: int = 4,
+        adaptive_k: bool = False,
+        k_min: int = 1,
+        k_ema_decay: float = 0.9,
+        k_step_cost: float = 0.08,
         **kwargs,
     ):
+        """``adaptive_k``: pick K each step from a small ladder in
+        ``[k_min, draft_k]`` to maximize predicted tokens/sec under the
+        measured acceptance rate. The predictor is E[tokens]/cost with
+        E[tokens] = sum_{i<=K} a^i (chain acceptance at EMA rate ``a``) and
+        cost(K) = 1 + k_step_cost*K (PERF.md: a K=4 batched round costs 1.31x
+        one decode step => ~0.08/draft-token). Each distinct K compiles the
+        round program once; the ladder is small so compiles are bounded."""
         super().__init__(params, config, **kwargs)
         self.dparams = draft_params
         self.dcfg = draft_config
         self.K = draft_k
+        self.K_max = draft_k
+        self.adaptive_k = adaptive_k
+        self.k_min = max(1, min(k_min, draft_k))
+        self.k_ema_decay = k_ema_decay
+        self.k_step_cost = k_step_cost
+        self._k_ladder = sorted(
+            {self.k_min, self.K_max}
+            | {k for k in (1, 2, 4, 8, 16) if self.k_min <= k <= self.K_max}
+        )
         # draft pool shares the page TABLES (same positions); bf16 values —
         # the draft is small, quantizing its cache buys nothing
         self.dpool = init_page_pool(
             draft_config, self.n_pages, self.page, jnp.bfloat16, quantized=False
         )
         self.prev = np.zeros(self.B, np.int32)
+        # acceptance telemetry (see stats())
+        self._spec_rounds = 0
+        self._drafted = 0
+        self._accepted = 0
+        self._accept_ema: Optional[float] = None
+        self.slot_drafted = np.zeros(self.B, np.int64)
+        self.slot_accepted = np.zeros(self.B, np.int64)
 
     # -- hooks into the base engine's prefill/admission ---------------------
     def _prefill_span(self, toks, start_pos, table_pages, want_logits=True):
@@ -231,6 +262,8 @@ class SpeculativePagedEngine(PagedEngine):
             # prompt fully covered by a shared prefix: use the prefix tail
             _, sprefix_tail = self._prefixes[req.prefix_id]
             self.prev[slot] = sprefix_tail[-1]
+        self.slot_drafted[slot] = 0
+        self.slot_accepted[slot] = 0
         super()._activate(slot, req, logits, resuming, total_len)
 
     def _ensure_capacity(self) -> bool:
@@ -293,6 +326,29 @@ class SpeculativePagedEngine(PagedEngine):
         )
         tokens = np.asarray(tokens)  # (B, K+1)
         n_out = np.asarray(n_out)
+        # acceptance telemetry: n_out-1 of K drafts survived the rejection
+        # chain (raw, before the budget/eos emission clamp — this measures
+        # draft quality, not request-length truncation)
+        round_drafted = round_accepted = 0
+        for r in active:
+            acc = int(np.clip(n_out[r.slot] - 1, 0, self.K))
+            self.slot_drafted[r.slot] += self.K
+            self.slot_accepted[r.slot] += acc
+            round_drafted += self.K
+            round_accepted += acc
+        self._spec_rounds += 1
+        self._drafted += round_drafted
+        self._accepted += round_accepted
+        if round_drafted:
+            rate = round_accepted / round_drafted
+            self._accept_ema = (
+                rate
+                if self._accept_ema is None
+                else self.k_ema_decay * self._accept_ema
+                + (1.0 - self.k_ema_decay) * rate
+            )
+        if self.adaptive_k and self._accept_ema is not None:
+            self.K = self._pick_k(self._accept_ema)
         emitted = []
         for slot, req in enumerate(self.slot_req):
             if req is None or slot in self.prefilling:
@@ -317,3 +373,41 @@ class SpeculativePagedEngine(PagedEngine):
         self._steps += 1
         self._tokens_out += len(emitted)
         return emitted
+
+    # -- adaptive K ----------------------------------------------------------
+    def _predicted_rate(self, alpha: float, k: int) -> float:
+        """Predicted tokens per unit decode-step cost at chain-acceptance
+        ``alpha``: E[tokens] = sum_{i=0..k} alpha^i, cost = 1 + k_step_cost*k."""
+        e_tokens = sum(alpha**i for i in range(k + 1))
+        return e_tokens / (1.0 + self.k_step_cost * k)
+
+    def _pick_k(self, alpha: float) -> int:
+        best = max(self._k_ladder, key=lambda k: self._predicted_rate(alpha, k))
+        if best == self.K:
+            return self.K
+        # hysteresis: switching K recompiles the round program — only move
+        # when the predicted gain is real (>3%)
+        if self._predicted_rate(alpha, best) > 1.03 * self._predicted_rate(
+            alpha, self.K
+        ):
+            return best
+        return self.K
+
+    def stats(self) -> Dict[str, float]:
+        s = super().stats()
+        s["spec_rounds"] = self._spec_rounds
+        s["tokens_drafted"] = self._drafted
+        s["tokens_accepted"] = self._accepted
+        s["acceptance_rate"] = self._accepted / max(self._drafted, 1)
+        s["acceptance_ema"] = (
+            self._accept_ema if self._accept_ema is not None else -1.0
+        )
+        s["draft_k"] = self.K
+        s["tokens_per_round"] = self._tokens_out / max(self._spec_rounds, 1)
+        s["per_slot_acceptance"] = [
+            (self.slot_accepted[b] / self.slot_drafted[b])
+            if self.slot_drafted[b]
+            else None
+            for b in range(self.B)
+        ]
+        return s

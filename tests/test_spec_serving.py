@@ -125,3 +125,86 @@ def test_pages_freed_after_run(target, draft, rng):
     full = len(eng.free)
     eng.run([(prompt, 8)])
     assert len(eng.free) == full
+
+
+def test_acceptance_telemetry(target, draft, rng):
+    prompt = rng.integers(0, 64, size=(6,)).astype(np.int32)
+    eng = _spec(target, draft, draft_k=3)
+    eng.run([(prompt, 10)])
+    s = eng.stats()
+    assert s["spec_rounds"] > 0
+    assert s["tokens_drafted"] == 3 * s["spec_rounds"]
+    assert 0.0 <= s["acceptance_rate"] <= 1.0
+    assert 0.0 <= s["acceptance_ema"] <= 1.0
+    # one slot was used; its per-slot rate matches the aggregate
+    rates = [r for r in s["per_slot_acceptance"] if r is not None]
+    assert len(rates) == 1
+    assert abs(rates[0] - s["acceptance_rate"]) < 1e-9
+
+
+def test_self_draft_telemetry_all_accepted(target, rng):
+    """Draft == target with greedy sampling: every draft token accepted."""
+    prompt = rng.integers(0, 64, size=(5,)).astype(np.int32)
+    eng = SpeculativePagedEngine(
+        target, TCFG, draft_params=target, draft_config=TCFG,
+        max_batch=2, n_pages=48, page_size=4, draft_k=4,
+    )
+    eng.run([(prompt, 12)])
+    s = eng.stats()
+    assert s["acceptance_rate"] == 1.0
+
+
+def test_pick_k_monotone_in_acceptance(target, draft):
+    """Higher acceptance must never pick a smaller K; extremes hit the ends."""
+    eng = _spec(target, draft, draft_k=16, adaptive_k=True, k_min=1)
+    best = lambda a: max(
+        eng._k_ladder, key=lambda k: eng._predicted_rate(a, k)
+    )
+    picks = [best(a) for a in (0.0, 0.2, 0.5, 0.8, 0.95, 1.0)]
+    assert picks == sorted(picks)
+    assert picks[0] == 1          # useless draft -> minimum K
+    assert picks[-1] == 16        # perfect draft -> maximum K
+
+
+def test_pick_k_hysteresis(target, draft):
+    """_pick_k stays put unless the predicted gain exceeds 3%."""
+    eng = _spec(target, draft, draft_k=8, adaptive_k=True, k_min=1)
+    eng.K = 4
+    # acceptance where K=4 and its ladder neighbors predict nearly the same
+    # rate: find an alpha whose best-K gain over K=4 is under the threshold
+    for alpha in np.linspace(0.0, 1.0, 101):
+        best = max(eng._k_ladder, key=lambda k: eng._predicted_rate(alpha, k))
+        gain = eng._predicted_rate(alpha, best) / eng._predicted_rate(alpha, 4)
+        if best != 4 and gain < 1.03:
+            assert eng._pick_k(float(alpha)) == 4
+            break
+    else:
+        pytest.skip("no sub-threshold alpha on this ladder/cost")
+
+
+def test_adaptive_k_matches_plain_engine(target, draft, rng):
+    """Exactness is K-independent, so it must survive K changing mid-run."""
+    prompts = [
+        rng.integers(0, 64, size=(n,)).astype(np.int32) for n in (5, 9)
+    ]
+    want = _plain(target).run([(p, 14) for p in prompts])
+    eng = _spec(
+        target, draft, draft_k=4, adaptive_k=True, k_min=1, k_ema_decay=0.0
+    )
+    got = eng.run([(p, 14) for p in prompts])
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_adaptive_k_grows_on_perfect_draft(target, rng):
+    """Self-draft (acceptance 1.0) should drive K up from k_min."""
+    prompt = rng.integers(0, 64, size=(5,)).astype(np.int32)
+    eng = SpeculativePagedEngine(
+        target, TCFG, draft_params=target, draft_config=TCFG,
+        max_batch=2, n_pages=48, page_size=4,
+        draft_k=8, adaptive_k=True, k_min=1, k_ema_decay=0.0,
+    )
+    eng.K = 1  # start at the bottom of the ladder
+    eng.run([(prompt, 24)])
+    assert eng.K > 1
+    assert eng.stats()["draft_k"] == eng.K
