@@ -30,6 +30,9 @@ def main(
     prefill_chunk: int = 0,
     draft_checkpoint_path: str = "",
     draft_k: int = 4,
+    adaptive_k: bool = False,
+    pp_stages: int = 0,
+    pp_microbatches: int = 0,
     seed: int = 1234,
 ) -> None:
     """Serve a batch of prompts with continuous batching.
@@ -50,6 +53,13 @@ def main(
             speculative decoding (paged only): up to draft_k+1 tokens per slot
             per step, exact target distribution.
         draft_k: drafted tokens per speculative round.
+        adaptive_k: pick K per round from [1, draft_k] under the measured
+            acceptance rate (speculative only).
+        pp_stages: run the paged engine pipeline-parallel over this many
+            devices ('pp' mesh axis; layers + page pool sharded per stage) —
+            for models beyond one host's HBM. 0 = single-mesh.
+        pp_microbatches: decode wavefront width (defaults to pp_stages;
+            must divide max_batch).
     """
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
     from lit_llama_ja_tpu.infer.paged import PagedEngine
@@ -79,13 +89,23 @@ def main(
             quantize_kv=quantize_kv, eos_id=tokenizer.eos_id,
             prefill_chunk=prefill_chunk or None, seed=seed,
         )
+        if pp_stages:
+            import jax
+
+            from lit_llama_ja_tpu.parallel.mesh import make_mesh
+
+            common["pp_mesh"] = make_mesh(
+                dp=1, fsdp=1, tp=1, pp=pp_stages,
+                devices=jax.devices()[:pp_stages],
+            )
+            common["pp_microbatches"] = pp_microbatches or pp_stages
         if draft_checkpoint_path:
             from lit_llama_ja_tpu.infer.spec_serving import SpeculativePagedEngine
 
             dparams, dconfig = load_model_any(Path(draft_checkpoint_path), None)
             engine = SpeculativePagedEngine(
                 params, config, draft_params=dparams, draft_config=dconfig,
-                draft_k=draft_k, **common,
+                draft_k=draft_k, adaptive_k=adaptive_k, **common,
             )
         else:
             engine = PagedEngine(params, config, **common)

@@ -186,7 +186,32 @@ def paged_forward(
     into the attention einsum and materializes it — chunking keeps each piece
     in the fused regime (measured: B=16 80.9 → 59.1 ms/step, PERF.md).
     """
-    B, T = toks.shape
+    x = params["wte"]["weight"][toks]  # (B, T, D)
+    x, new_pool = paged_block_chain(
+        params["blocks"], pool, x, pos, tables, config, quantized,
+        use_kernel=use_kernel, attn_chunk=attn_chunk,
+    )
+    x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
+    logits = apply_linear(params["lm_head"], x)
+    return logits, new_pool
+
+
+def paged_block_chain(
+    blocks,
+    pool: PagePool,
+    x: jax.Array,  # (B, T, D) embedded inputs
+    pos: jax.Array,  # (B, T)
+    tables: jax.Array,  # (B, AP)
+    config: LLaMAConfig,
+    quantized,
+    use_kernel: bool = False,
+    attn_chunk: Optional[int] = None,
+) -> Tuple[jax.Array, PagePool]:
+    """The transformer-block chain of `paged_forward` (everything between the
+    embedding and the final norm), factored out so pipeline-parallel decode
+    (`parallel/pp_decode.py`) can run it on a stage's LOCAL layer shard: the
+    ``blocks``/``pool`` leading L axis may be any contiguous layer slice."""
+    B, T = x.shape[:2]
     page = pool["k"].shape[3]  # leaves are (L, n_pages, nh, page, hd)
     nh, hd = config.n_head, config.head_dim
     # rope table extends to the table capacity (beyond block_size = position
@@ -194,7 +219,6 @@ def paged_forward(
     rope_len = max(config.block_size, tables.shape[1] * page)
     rope_full = build_rope_cache(rope_len, config.head_dim, config.rope_base)
     rope_t = rope_full[jnp.clip(pos, 0, rope_len - 1)]  # (B, T, hd/2, 2)
-    x = params["wte"]["weight"][toks]  # (B, T, D)
 
     page_idx = jnp.take_along_axis(tables, pos // page, axis=1)  # (B, T)
     offs = pos % page
@@ -271,10 +295,7 @@ def paged_forward(
         )
         return x, cache_l
 
-    x, new_pool = jax.lax.scan(body, x, (params["blocks"], pool))
-    x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
-    logits = apply_linear(params["lm_head"], x)
-    return logits, new_pool
+    return jax.lax.scan(body, x, (blocks, pool))
 
 
 @partial(
@@ -304,7 +325,20 @@ def _paged_decode_and_sample(
         params, toks[:, None], pos[:, None], tables, pool, config, quantized,
         use_kernel, attn_chunk,
     )
-    logits = logits[:, 0].astype(jnp.float32)
+    nxt = sample_next_token(logits[:, 0], key, temps, top_k, top_p)
+    return nxt, pool
+
+
+def sample_next_token(
+    logits: jax.Array,  # (B, V)
+    key: jax.Array,
+    temps: jax.Array,  # (B,) 0 = greedy
+    top_k: Optional[int],
+    top_p: Optional[float] = None,
+) -> jax.Array:
+    """Per-slot temperature/top-k/top-p sampling (B,) — the in-jit tail shared
+    by the single-mesh and pipeline-parallel decode programs."""
+    logits = logits.astype(jnp.float32)
     if top_k is not None:
         kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
         sample_logits = jnp.where(logits < kth, -jnp.inf, logits)
@@ -317,8 +351,7 @@ def _paged_decode_and_sample(
     safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
     sampled = jax.random.categorical(key, sample_logits / safe_t, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
-    nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
-    return nxt, pool
+    return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
 
 
 @dataclasses.dataclass
@@ -351,11 +384,20 @@ class PagedEngine:
         eos_id: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
         seed: int = 0,
+        pp_mesh=None,
+        pp_microbatches: int = 1,
     ):
         """``prefill_chunk``: process prompts in chunks of at most this many
         tokens, interleaved with decode steps — a long prompt no longer stalls
         the active streams for its whole prefill (per-step latency is bounded
-        by one chunk + one decode). None = whole-prompt prefill at admit."""
+        by one chunk + one decode). None = whole-prompt prefill at admit.
+
+        ``pp_mesh``: run the decode/prefill programs pipeline-parallel over
+        this mesh's 'pp' axis (`parallel/pp_decode.py`) — params' blocks and
+        the page pool shard their layer axis across stages; all allocator /
+        prefix-sharing / preemption bookkeeping is layer-oblivious and works
+        unchanged. ``pp_microbatches``: GPipe wavefront width for the decode
+        step (must divide max_batch; M ≥ pp keeps stages busy)."""
         self.params = params
         self.config = config
         self.B = max_batch
@@ -369,6 +411,25 @@ class PagedEngine:
         self.pool = init_page_pool(
             config, n_pages, page_size, jnp.bfloat16, quantize_kv
         )
+        self._pp_step = self._pp_prefill = None
+        if pp_mesh is not None:
+            from lit_llama_ja_tpu.parallel.pipeline import shard_params_pp
+            from lit_llama_ja_tpu.parallel.pp_decode import (
+                make_pp_decode_step,
+                make_pp_prefill,
+                shard_pool_pp,
+            )
+
+            assert max_batch % pp_microbatches == 0
+            self._pp_step = make_pp_decode_step(
+                config, pp_mesh, params, self.pool,
+                n_micro=pp_microbatches, quantized=quantize_kv,
+            )
+            self._pp_prefill = make_pp_prefill(
+                config, pp_mesh, params, self.pool, quantized=quantize_kv
+            )
+            self.params = shard_params_pp(params, pp_mesh)
+            self.pool = shard_pool_pp(self.pool, pp_mesh)
         # host-side allocator state; page 0 is the reserved trash page
         self.free: List[int] = list(range(n_pages - 1, 0, -1))
         self.page_refs = np.zeros(n_pages, np.int32)
@@ -493,15 +554,24 @@ class PagedEngine:
         # positions of padding tokens beyond the allocated pages go to trash:
         # their table entries are 0 already (trash), and attention masks them.
         self._prefill_tokens += T
-        logits, self.pool = paged_forward(
-            self.params,
-            jnp.asarray(padded[None]),
-            jnp.asarray(pos[None]),
-            jnp.asarray(table[None]),
-            self.pool,
-            self.config,
-            self.quantized,
-        )
+        if self._pp_prefill is not None:
+            logits, self.pool = self._pp_prefill(
+                self.params,
+                jnp.asarray(padded[None]),
+                jnp.asarray(pos[None]),
+                jnp.asarray(table[None]),
+                self.pool,
+            )
+        else:
+            logits, self.pool = paged_forward(
+                self.params,
+                jnp.asarray(padded[None]),
+                jnp.asarray(pos[None]),
+                jnp.asarray(table[None]),
+                self.pool,
+                self.config,
+                self.quantized,
+            )
         if want_logits:
             return np.asarray(logits[0, T - 1])
         return None
@@ -690,21 +760,34 @@ class PagedEngine:
         )
         ap = min(bucket_length(max_pages, minimum=1), self.maxP)
         self.key, sub = jax.random.split(self.key)
-        nxt, self.pool = _paged_decode_and_sample(
-            self.params,
-            jnp.asarray(self.cur),
-            jnp.asarray(self.pos),
-            jnp.asarray(self.tables[:, :ap]),
-            self.pool,
-            sub,
-            jnp.asarray(self.temps),
-            self.config,
-            self.quantized,
-            self.top_k,
-            self.top_p,
-            False,
-            self.attn_chunk,
-        )
+        if self._pp_step is not None:
+            nxt, self.pool = self._pp_step(
+                self.params,
+                jnp.asarray(self.cur),
+                jnp.asarray(self.pos),
+                jnp.asarray(self.tables[:, :ap]),
+                self.pool,
+                sub,
+                jnp.asarray(self.temps),
+                self.top_k,
+                self.top_p,
+            )
+        else:
+            nxt, self.pool = _paged_decode_and_sample(
+                self.params,
+                jnp.asarray(self.cur),
+                jnp.asarray(self.pos),
+                jnp.asarray(self.tables[:, :ap]),
+                self.pool,
+                sub,
+                jnp.asarray(self.temps),
+                self.config,
+                self.quantized,
+                self.top_k,
+                self.top_p,
+                False,
+                self.attn_chunk,
+            )
         nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []
         for slot, req in enumerate(self.slot_req):

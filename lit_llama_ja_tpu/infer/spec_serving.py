@@ -191,6 +191,11 @@ class SpeculativePagedEngine(PagedEngine):
         cost(K) = 1 + k_step_cost*K (PERF.md: a K=4 batched round costs 1.31x
         one decode step => ~0.08/draft-token). Each distinct K compiles the
         round program once; the ladder is small so compiles are bounded."""
+        if kwargs.get("pp_mesh") is not None:
+            raise NotImplementedError(
+                "speculative serving does not support pp_mesh yet — the "
+                "draft+verify round program is single-mesh (tp-shardable)"
+            )
         super().__init__(params, config, **kwargs)
         self.dparams = draft_params
         self.dcfg = draft_config

@@ -1,0 +1,193 @@
+"""Pipeline-parallel paged decode: serving across meshes tensor parallelism
+alone cannot reach.
+
+The reference has no pipeline parallelism and no serving runtime at all
+(SURVEY.md §2.3); `parallel/pipeline.py` added GPipe *training*. This module
+adds the inference side: the paged serving engine's decode step executed with
+the transformer layers (and their slice of the page pool) sharded over a
+``'pp'`` mesh axis. Use case: models whose weights exceed one host's HBM even
+int4-quantized, where 'tp' over ICI runs out of devices — pp spans hosts with
+one activation hop per stage boundary (DCN-friendly: (mbs, 1, D) bytes per
+tick, vs tp's per-layer all-reduces).
+
+Schedule: the B engine slots are split into M microgroups; at tick ``t`` stage
+``s`` decodes microgroup ``t − s`` (the classic GPipe wavefront, M + S − 1
+ticks per engine step). Stage 0 embeds, every stage runs its local
+`paged_block_chain` (`infer/paged.py` — the SAME code the single-mesh engine
+runs; the leading layer axis of blocks/pool is simply the local shard), the
+last stage projects logits. Steady-state stage utilization is M/(M+S−1).
+
+Idle-tick hygiene: a stage with no microgroup in range still executes the
+chain (SPMD — everyone runs the same program); its writes are pointed at the
+reserved trash page (page 0) at position 0, the same convention the engines
+use for idle slots, and its outputs are masked out. `_masked_softmax` keeps
+those garbage rows finite, so they can never poison real slots through the
+shared pool.
+
+KV-cache layout: the page pool's leaves are ``(L, n_pages, ...)`` — the layer
+axis shards over 'pp' with NO resharding (`shard_pool_pp`), exactly like the
+parameter blocks (`pipeline.shard_params_pp`). Page tables, the allocator, and
+all engine bookkeeping are layer-oblivious, so prefix sharing / preemption /
+chunked prefill work unchanged on top of this step.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.infer.paged import (
+    PagePool,
+    paged_block_chain,
+    sample_next_token,
+)
+from lit_llama_ja_tpu.models.llama import apply_linear
+from lit_llama_ja_tpu.ops.norms import rmsnorm
+from lit_llama_ja_tpu.parallel.pipeline import pp_param_specs, shard_params_pp
+
+
+def pp_pool_specs(pool: PagePool, axis: str = "pp"):
+    """Every pool leaf is ``(L, ...)`` → shard the layer axis."""
+    return jax.tree.map(lambda _: P(axis), pool)
+
+
+def shard_pool_pp(pool: PagePool, mesh: Mesh, axis: str = "pp") -> PagePool:
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), pool
+    )
+
+
+def make_pp_decode_step(
+    config: LLaMAConfig,
+    mesh: Mesh,
+    params,
+    pool: PagePool,
+    *,
+    n_micro: int = 1,
+    quantized=False,
+    axis: str = "pp",
+):
+    """Build the jitted pipeline decode program.
+
+    ``params``/``pool`` are used for spec construction only (any placement).
+    Returns ``step(params, toks (B,), pos (B,), tables (B, AP), pool, key,
+    temps, top_k, top_p) -> (next_tokens (B,), pool)`` — same contract as the
+    single-mesh `_paged_decode_and_sample`, with ``B % n_micro == 0``.
+    """
+    S = int(mesh.shape[axis])
+    M = n_micro
+    L = config.n_layer
+    assert L % S == 0, f"n_layer={L} not divisible by pp={S}"
+    pspecs = pp_param_specs(params)
+    poolspecs = pp_pool_specs(pool, axis)
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, P(), P(), P(), poolspecs),
+        out_specs=(P(), poolspecs),
+        check_vma=False,
+    )
+    def inner(params, toks, pos, tables, pool):
+        s = jax.lax.axis_index(axis)
+        B = toks.shape[0]
+        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
+        mbs = B // M
+        emb_all = params["wte"]["weight"][toks][:, None, :]  # (B, 1, D)
+        buf = jnp.zeros((mbs, 1, emb_all.shape[-1]), emb_all.dtype)
+        parts = []
+        for t in range(M + S - 1):
+            m = t - s  # this stage's microgroup at this tick (traced)
+            active = (m >= 0) & (m < M)
+            start = jnp.clip(m, 0, M - 1) * mbs
+            tok_emb = jax.lax.dynamic_slice_in_dim(emb_all, start, mbs, 0)
+            pos_m = jax.lax.dynamic_slice_in_dim(pos, start, mbs, 0)
+            tab_m = jax.lax.dynamic_slice_in_dim(tables, start, mbs, 0)
+            # idle ticks write to the trash page at position 0
+            pos_m = jnp.where(active, pos_m, 0)
+            tab_m = jnp.where(active, tab_m, 0)
+            x_in = jnp.where(s == 0, tok_emb, buf)
+            h, pool = paged_block_chain(
+                params["blocks"], pool, x_in, pos_m[:, None], tab_m,
+                config, quantized,
+            )
+            if t >= S - 1:
+                # on the last stage this is microgroup t-(S-1); garbage on
+                # other stages (masked below)
+                y = rmsnorm(h[:, 0], params["ln_f"]["scale"], config.norm_eps)
+                parts.append(apply_linear(params["lm_head"], y))
+            if S > 1:
+                buf = jax.lax.ppermute(h, axis, perm)
+        logits = jnp.concatenate(parts, axis=0)  # (B, V)
+        logits = jnp.where(s == S - 1, logits, 0)
+        return jax.lax.psum(logits, axis), pool
+
+    @partial(jax.jit, static_argnames=("top_k", "top_p"), donate_argnums=(4,))
+    def step(
+        params,
+        toks: jax.Array,  # (B,)
+        pos: jax.Array,  # (B,)
+        tables: jax.Array,  # (B, AP)
+        pool: PagePool,
+        key: jax.Array,
+        temps: jax.Array,  # (B,)
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+    ) -> Tuple[jax.Array, PagePool]:
+        logits, pool = inner(params, toks, pos, tables, pool)
+        return sample_next_token(logits, key, temps, top_k, top_p), pool
+
+    return step
+
+
+def make_pp_prefill(
+    config: LLaMAConfig,
+    mesh: Mesh,
+    params,
+    pool: PagePool,
+    *,
+    quantized=False,
+    axis: str = "pp",
+):
+    """Jitted pipeline prefill: one (1, T) span flows through the stages
+    (M=1 — a single prompt cannot wavefront; chunked prefill interleaves
+    multiple prompts' chunks at the engine level instead). Returns
+    ``prefill(params, toks (1, T), pos (1, T), tables (1, AP), pool) ->
+    (logits (1, T, V), pool)`` — same contract as `paged_forward`."""
+    S = int(mesh.shape[axis])
+    pspecs = pp_param_specs(params)
+    poolspecs = pp_pool_specs(pool, axis)
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, P(), P(), P(), poolspecs),
+        out_specs=(P(), poolspecs),
+        check_vma=False,
+    )
+    def inner(params, toks, pos, tables, pool):
+        s = jax.lax.axis_index(axis)
+        x = params["wte"]["weight"][toks]  # (1, T, D)
+        for t in range(S):
+            h, pool = paged_block_chain(
+                params["blocks"], pool, x, pos, tables, config, quantized
+            )
+            if S > 1:
+                h_next = jax.lax.ppermute(h, axis, perm)
+                # each stage consumes the previous stage's output on the
+                # matching tick; off-tick chains recompute over stale x (their
+                # pool writes are overwritten on the real tick — same pages)
+                x = jnp.where(s == t + 1, h_next, x)
+        y = rmsnorm(h, params["ln_f"]["scale"], config.norm_eps)
+        logits = apply_linear(params["lm_head"], y)
+        logits = jnp.where(s == S - 1, logits, 0)
+        return jax.lax.psum(logits, axis), pool
+
+    return jax.jit(inner, donate_argnums=(4,))
