@@ -31,6 +31,7 @@ def main(
     draft_checkpoint_path: str = "",
     draft_k: int = 4,
     adaptive_k: bool = False,
+    draft_tree: str = "",
     pp_stages: int = 0,
     pp_microbatches: int = 0,
     seed: int = 1234,
@@ -54,7 +55,11 @@ def main(
             per step, exact target distribution.
         draft_k: drafted tokens per speculative round.
         adaptive_k: pick K per round from [1, draft_k] under the measured
-            acceptance rate (speculative only).
+            acceptance rate (chain speculative only).
+        draft_tree: comma-separated per-level branching (e.g. "4,2,2") for
+            TREE speculation (`infer/tree_spec.py`): each level retries with
+            that many draft candidates, raising per-level survival from a to
+            1-(1-a)^b; empty = chain speculation of length draft_k.
         pp_stages: run the paged engine pipeline-parallel over this many
             devices ('pp' mesh axis; layers + page pool sharded per stage) —
             for models beyond one host's HBM. 0 = single-mesh.
@@ -100,13 +105,25 @@ def main(
             )
             common["pp_microbatches"] = pp_microbatches or pp_stages
         if draft_checkpoint_path:
-            from lit_llama_ja_tpu.infer.spec_serving import SpeculativePagedEngine
-
             dparams, dconfig = load_model_any(Path(draft_checkpoint_path), None)
-            engine = SpeculativePagedEngine(
-                params, config, draft_params=dparams, draft_config=dconfig,
-                draft_k=draft_k, adaptive_k=adaptive_k, **common,
-            )
+            if draft_tree:
+                from lit_llama_ja_tpu.infer.tree_spec import (
+                    TreeSpeculativePagedEngine,
+                )
+
+                engine = TreeSpeculativePagedEngine(
+                    params, config, draft_params=dparams, draft_config=dconfig,
+                    tree=tuple(int(b) for b in draft_tree.split(",")), **common,
+                )
+            else:
+                from lit_llama_ja_tpu.infer.spec_serving import (
+                    SpeculativePagedEngine,
+                )
+
+                engine = SpeculativePagedEngine(
+                    params, config, draft_params=dparams, draft_config=dconfig,
+                    draft_k=draft_k, adaptive_k=adaptive_k, **common,
+                )
         else:
             engine = PagedEngine(params, config, **common)
     else:
