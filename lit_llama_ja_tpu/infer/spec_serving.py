@@ -57,35 +57,25 @@ def _dist_batch(logits, temps, top_k, top_p):
     return jnp.where((temps > 0)[:, None], sampled, greedy)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tcfg", "dcfg", "K", "quantized", "top_k", "top_p"),
-    donate_argnums=(6, 7),
-)
-def _batched_spec_round(
-    tparams,
+def _draft_propose(
     dparams,
-    prev: jax.Array,  # (B,) token at pos-1 (cached in both pools)
+    prev: jax.Array,  # (B,) token at pos-1 (cached in the draft pool)
     cur: jax.Array,  # (B,) token at pos (not yet in any cache)
     pos: jax.Array,  # (B,)
     tables: jax.Array,  # (B, AP)
-    tpool: PagePool,
     dpool: PagePool,
-    key: jax.Array,
-    temps: jax.Array,  # (B,)
-    tcfg: LLaMAConfig,
     dcfg: LLaMAConfig,
     K: int,
-    quantized: bool,
+    temps: jax.Array,
     top_k: Optional[int],
     top_p: Optional[float],
-) -> Tuple[jax.Array, jax.Array, PagePool, PagePool]:
-    """One batched draft+verify round; returns (tokens (B, K+1), n_out (B,),
-    target pool, draft pool). ``tokens[b, :n_out[b]]`` are slot b's new tokens."""
-    B = cur.shape[0]
-    kd, kacc, kfin = jax.random.split(key, 3)
-
-    # --- draft: (prev, cur) pair, then K-1 batched single steps -------------
+    kd: jax.Array,
+) -> Tuple[jax.Array, jax.Array, PagePool]:
+    """Draft K tokens per slot: a (prev, cur) pair forward (fills the
+    one-position cache hole an all-accepted round leaves), then K-1 batched
+    single steps. Returns (draft_toks (B, K), p_d (B, K, V), dpool). Shared by
+    the single-mesh round and the pipeline-parallel round (`parallel/pp_spec`),
+    where the small draft runs replicated on every stage."""
     pair = jnp.stack([prev, cur], axis=1)  # (B, 2)
     # clamp: idle slots sit at pos=0 and would otherwise query position -1 —
     # an all-masked row whose NaN output poisons the shared trash page (active
@@ -122,14 +112,24 @@ def _batched_spec_round(
     p_d = jnp.concatenate(
         [p0[:, None], jnp.moveaxis(probs_out, 0, 1)], axis=1
     )  # (B, K, V)
+    return draft_toks, p_d, dpool
 
-    # --- target: verify all K+1 positions per slot in one forward -----------
-    tin = jnp.concatenate([cur[:, None], draft_toks], axis=1)  # (B, K+1)
-    tpos = pos[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None]
-    tlogits, tpool = paged_forward(
-        tparams, tin, tpos, tables, tpool, tcfg, quantized
-    )
-    BV = tlogits.shape[-1]
+
+def _accept_chain(
+    tlogits: jax.Array,  # (B, K+1, V) target logits over [cur, drafts]
+    draft_toks: jax.Array,  # (B, K)
+    p_d: jax.Array,  # (B, K, V)
+    temps: jax.Array,
+    top_k: Optional[int],
+    top_p: Optional[float],
+    kacc: jax.Array,
+    kfin: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-slot rejection chain over the verified logits; returns
+    (tokens (B, K+1), n_out (B,)). Exact target distribution (greedy bitwise).
+    Shared by the single-mesh and pipeline-parallel rounds."""
+    B, K1, BV = tlogits.shape
+    K = K1 - 1
     p_t = _dist_batch(
         tlogits.reshape(B * (K + 1), BV),
         jnp.repeat(temps, K + 1),
@@ -163,7 +163,48 @@ def _batched_spec_round(
         [draft_toks, jnp.zeros((B, 1), jnp.int32)], axis=1
     )
     tokens = tokens.at[barange, n_acc].set(final)
-    return tokens, n_acc + 1, tpool, dpool
+    return tokens, n_acc + 1
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "K", "quantized", "top_k", "top_p"),
+    donate_argnums=(6, 7),
+)
+def _batched_spec_round(
+    tparams,
+    dparams,
+    prev: jax.Array,  # (B,) token at pos-1 (cached in both pools)
+    cur: jax.Array,  # (B,) token at pos (not yet in any cache)
+    pos: jax.Array,  # (B,)
+    tables: jax.Array,  # (B, AP)
+    tpool: PagePool,
+    dpool: PagePool,
+    key: jax.Array,
+    temps: jax.Array,  # (B,)
+    tcfg: LLaMAConfig,
+    dcfg: LLaMAConfig,
+    K: int,
+    quantized: bool,
+    top_k: Optional[int],
+    top_p: Optional[float],
+) -> Tuple[jax.Array, jax.Array, PagePool, PagePool]:
+    """One batched draft+verify round; returns (tokens (B, K+1), n_out (B,),
+    target pool, draft pool). ``tokens[b, :n_out[b]]`` are slot b's new tokens."""
+    kd, kacc, kfin = jax.random.split(key, 3)
+    draft_toks, p_d, dpool = _draft_propose(
+        dparams, prev, cur, pos, tables, dpool, dcfg, K, temps, top_k, top_p, kd
+    )
+    # --- target: verify all K+1 positions per slot in one forward -----------
+    tin = jnp.concatenate([cur[:, None], draft_toks], axis=1)  # (B, K+1)
+    tpos = pos[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None]
+    tlogits, tpool = paged_forward(
+        tparams, tin, tpos, tables, tpool, tcfg, quantized
+    )
+    tokens, n_out = _accept_chain(
+        tlogits, draft_toks, p_d, temps, top_k, top_p, kacc, kfin
+    )
+    return tokens, n_out, tpool, dpool
 
 
 class SpeculativePagedEngine(PagedEngine):
@@ -191,12 +232,14 @@ class SpeculativePagedEngine(PagedEngine):
         cost(K) = 1 + k_step_cost*K (PERF.md: a K=4 batched round costs 1.31x
         one decode step => ~0.08/draft-token). Each distinct K compiles the
         round program once; the ladder is small so compiles are bounded."""
-        if kwargs.get("pp_mesh") is not None:
-            raise NotImplementedError(
-                "speculative serving does not support pp_mesh yet — the "
-                "draft+verify round program is single-mesh (tp-shardable)"
-            )
         super().__init__(params, config, **kwargs)
+        # pp composition (`parallel/pp_spec.py`): the target verify runs the
+        # GPipe wavefront with T=K+1; the small draft runs replicated on every
+        # stage; rejection math is the shared single-mesh code. Round programs
+        # are built lazily per K (adaptive_k's ladder is small).
+        self._pp_mesh = kwargs.get("pp_mesh")
+        self._pp_micro = kwargs.get("pp_microbatches", 1)
+        self._pp_rounds: Dict[int, object] = {}
         self.dparams = draft_params
         self.dcfg = draft_config
         self.K = draft_k
@@ -214,6 +257,15 @@ class SpeculativePagedEngine(PagedEngine):
         self.dpool = init_page_pool(
             draft_config, self.n_pages, self.page, jnp.bfloat16, quantized=False
         )
+        if self._pp_mesh is not None:
+            # the round program spans the pp mesh's device set: the draft side
+            # must live there too, fully replicated (it computes identically
+            # on every stage, no communication)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self._pp_mesh, PartitionSpec())
+            self.dparams = jax.device_put(self.dparams, rep)
+            self.dpool = jax.device_put(self.dpool, rep)
         self.prev = np.zeros(self.B, np.int32)
         # acceptance telemetry (see stats())
         self._spec_rounds = 0
@@ -311,24 +363,50 @@ class SpeculativePagedEngine(PagedEngine):
         )
         ap = min(bucket_length(max_pages, minimum=1), self.maxP)
         self.key, sub = jax.random.split(self.key)
-        tokens, n_out, self.pool, self.dpool = _batched_spec_round(
-            self.params,
-            self.dparams,
-            jnp.asarray(self.prev),
-            jnp.asarray(self.cur),
-            jnp.asarray(self.pos),
-            jnp.asarray(self.tables[:, :ap]),
-            self.pool,
-            self.dpool,
-            sub,
-            jnp.asarray(self.temps),
-            self.config,
-            self.dcfg,
-            self.K,
-            self.quantized,
-            self.top_k,
-            self.top_p,
-        )
+        if self._pp_mesh is not None:
+            rnd = self._pp_rounds.get(self.K)
+            if rnd is None:
+                from lit_llama_ja_tpu.parallel.pp_spec import make_pp_spec_round
+
+                rnd = make_pp_spec_round(
+                    self.config, self.dcfg, self._pp_mesh, self.params,
+                    self.pool, K=self.K, n_micro=self._pp_micro,
+                    quantized=self.quantized,
+                )
+                self._pp_rounds[self.K] = rnd
+            tokens, n_out, self.pool, self.dpool = rnd(
+                self.params,
+                self.dparams,
+                jnp.asarray(self.prev),
+                jnp.asarray(self.cur),
+                jnp.asarray(self.pos),
+                jnp.asarray(self.tables[:, :ap]),
+                self.pool,
+                self.dpool,
+                sub,
+                jnp.asarray(self.temps),
+                self.top_k,
+                self.top_p,
+            )
+        else:
+            tokens, n_out, self.pool, self.dpool = _batched_spec_round(
+                self.params,
+                self.dparams,
+                jnp.asarray(self.prev),
+                jnp.asarray(self.cur),
+                jnp.asarray(self.pos),
+                jnp.asarray(self.tables[:, :ap]),
+                self.pool,
+                self.dpool,
+                sub,
+                jnp.asarray(self.temps),
+                self.config,
+                self.dcfg,
+                self.K,
+                self.quantized,
+                self.top_k,
+                self.top_p,
+            )
         tokens = np.asarray(tokens)  # (B, K+1)
         n_out = np.asarray(n_out)
         # acceptance telemetry: n_out-1 of K drafts survived the rejection

@@ -471,6 +471,11 @@ class TreeSpeculativePagedEngine(SpeculativePagedEngine):
 
     def __init__(self, params, config, *, tree: Tuple[int, ...] = (4, 2, 2),
                  **kwargs):
+        if kwargs.get("pp_mesh") is not None:
+            raise NotImplementedError(
+                "tree speculation does not compose with pp_mesh yet — use "
+                "chain speculation (SpeculativePagedEngine) over pp"
+            )
         tree = tuple(int(b) for b in tree)
         super().__init__(params, config, draft_k=len(tree), **kwargs)
         self.tree = tree

@@ -1,0 +1,88 @@
+"""Speculative serving over a pipeline-parallel mesh (simulated devices).
+
+Load-bearing property: the pp speculative engine emits the EXACT token
+streams of (a) the single-mesh speculative engine and (b) at temperature 0
+the plain engine — the verify wavefront is the same paged program with the
+layer axis sharded, and the rejection math is the shared single-mesh code."""
+import numpy as np
+import jax
+import pytest
+
+from lit_llama_ja_tpu.core.config import LLaMAConfig
+from lit_llama_ja_tpu.infer.paged import PagedEngine
+from lit_llama_ja_tpu.infer.spec_serving import SpeculativePagedEngine
+from lit_llama_ja_tpu.models.llama import init_params
+from lit_llama_ja_tpu.parallel.mesh import make_mesh
+
+TCFG = LLaMAConfig(block_size=96, vocab_size=64, n_layer=4, n_head=4, n_embd=32)
+DCFG = LLaMAConfig(block_size=96, vocab_size=64, n_layer=1, n_head=2, n_embd=16)
+KW = dict(max_batch=4, n_pages=64, page_size=4)
+
+
+@pytest.fixture(scope="module")
+def target():
+    return init_params(jax.random.PRNGKey(0), TCFG)
+
+
+@pytest.fixture(scope="module")
+def draft():
+    return init_params(jax.random.PRNGKey(1), DCFG)
+
+
+def _pp_spec(target, draft, pp=2, **kw):
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, pp=pp, devices=jax.devices()[:pp])
+    kw = {**KW, **kw}
+    kw.setdefault("pp_microbatches", 2)
+    return SpeculativePagedEngine(
+        target, TCFG, draft_params=draft, draft_config=DCFG,
+        pp_mesh=mesh, **kw,
+    )
+
+
+@pytest.mark.parametrize("pp", [2, 4])
+def test_pp_spec_matches_single_mesh(target, draft, rng, pp):
+    prompts = [
+        rng.integers(0, 64, size=(n,)).astype(np.int32) for n in (5, 9, 3)
+    ]
+    reqs = [(p, 12) for p in prompts]
+    want = SpeculativePagedEngine(
+        target, TCFG, draft_params=draft, draft_config=DCFG, draft_k=3, **KW
+    ).run(reqs)
+    got = _pp_spec(target, draft, pp=pp, draft_k=3).run(reqs)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_pp_spec_greedy_matches_plain(target, draft, rng):
+    prompt = rng.integers(0, 64, size=(6,)).astype(np.int32)
+    want = PagedEngine(target, TCFG, **KW).run([(prompt, 14)])
+    got = _pp_spec(target, draft, draft_k=4).run([(prompt, 14)])
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_pp_spec_quantized_kv(target, draft, rng):
+    prompt = rng.integers(0, 64, size=(6,)).astype(np.int32)
+    want = PagedEngine(target, TCFG, quantize_kv=True, **KW).run([(prompt, 10)])
+    got = _pp_spec(target, draft, draft_k=3, quantize_kv=True).run(
+        [(prompt, 10)]
+    )
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_pp_spec_adaptive_k(target, draft, rng):
+    """adaptive_k recompiles per K — each K gets its own pp round program."""
+    prompts = [rng.integers(0, 64, size=(5,)).astype(np.int32)] * 2
+    eng = _pp_spec(target, draft, draft_k=4, adaptive_k=True, k_min=1)
+    out = eng.run([(p, 16) for p in prompts])
+    assert all(len(v) == 5 + 16 for v in out.values())
+    st = eng.stats()
+    assert 1 <= st["draft_k"] <= 4
+
+
+def test_pp_spec_sampling_smoke(target, draft, rng):
+    prompt = rng.integers(0, 64, size=(5,)).astype(np.int32)
+    out = _pp_spec(target, draft, draft_k=3).run(
+        [(prompt, 10)], temperature=0.8, top_k=20, top_p=0.95
+    )
+    assert len(out[0]) == len(prompt) + 10
+    assert (out[0] >= 0).all() and (out[0] < 64).all()
