@@ -173,9 +173,16 @@ def quantize_kv4(k: jax.Array, v: jax.Array):
 
 
 def _unpack4(packed: jax.Array):
-    """(..., hd/2) uint8 -> centered int32 nibbles (lo=even dims, hi=odd)."""
-    p32 = packed.astype(jnp.int32)
-    return (p32 & 0xF) - 8, (p32 >> 4) - 8
+    """(..., hd/2) uint8 -> centered int8 nibbles (lo=even dims, hi=odd).
+
+    Stays in 8-bit arithmetic end to end: an int32 intermediate made XLA
+    materialize two full-width planes after the page gather (4x the int8
+    path's HBM traffic — PERF.md "INT4 KV cache"); int8 nibbles keep the
+    unpack in the same fused convert-into-dot regime as the int8 KV path.
+    """
+    lo = (packed & jnp.uint8(0xF)).astype(jnp.int8) - jnp.int8(8)
+    hi = (packed >> jnp.uint8(4)).astype(jnp.int8) - jnp.int8(8)
+    return lo, hi
 
 
 def decode_attention_quant4(
