@@ -232,8 +232,14 @@ def paged_block_chain(
         out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)
         return out.reshape(B, T, nh, hd).astype(t.dtype)
 
-    def body(x, layer_in):
-        block_params, cache_l = layer_in
+    def body(carry, layer_in):
+        # The pool rides the scan CARRY (updated via per-layer indexed scatter),
+        # not xs/ys: assembling a stacked-ys pool made XLA materialize two full
+        # pool copies per step (k and v, ~6 ms each at 7B B=16 — device-traced;
+        # the donated input could not alias the ys assembly buffer). Carry
+        # updates lower to in-place dynamic-update-slice/scatter.
+        x, pool = carry
+        block_params, l = layer_in
         h = rmsnorm(x, block_params["rms_1"]["scale"], config.norm_eps)
         qkv = apply_linear(block_params["attn"]["c_attn"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -254,13 +260,14 @@ def paged_block_chain(
             writes = {"k": kq, "v": vq,
                       "k_scale": ks[..., 0], "v_scale": vs[..., 0]}
         else:
-            writes = {"k": k.astype(cache_l["k"].dtype),
-                      "v": v.astype(cache_l["v"].dtype)}
-        # scatter the (B, T) new entries into their (page, nh, offset) rows
-        cache_l = {
-            key: cache_l[key].at[page_idx, :, offs].set(val)
+            writes = {"k": k.astype(pool["k"].dtype),
+                      "v": v.astype(pool["v"].dtype)}
+        # scatter the (B, T) new entries into layer l's (page, nh, offset) rows
+        pool = {
+            key: pool[key].at[l, page_idx, :, offs].set(val)
             for key, val in writes.items()
         }
+        cache_l = {key: val[l] for key, val in pool.items()}
         if use_kernel and T == 1 and quantized and quantized != "int4":
             from lit_llama_ja_tpu.ops.pallas.paged_attention import (
                 paged_decode_attention,
@@ -293,9 +300,13 @@ def paged_block_chain(
             block_params["mlp"],
             rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps),
         )
-        return x, cache_l
+        return (x, pool), None
 
-    return jax.lax.scan(body, x, (blocks, pool))
+    L = jax.tree.leaves(blocks)[0].shape[0]
+    (x, pool), _ = jax.lax.scan(
+        body, (x, pool), (blocks, jnp.arange(L, dtype=jnp.int32))
+    )
+    return x, pool
 
 
 @partial(
