@@ -158,6 +158,84 @@ def _paged_attention(q, gath, pos, quantized):
     return jnp.einsum("bhqs,bhsd->bhqd", att, gath["v"].astype(q.dtype))
 
 
+def _span_attention(q, gath, fresh, pos0, quantized):
+    """Attention of a contiguous (B, T) token span against
+    ``[stale paged cache | the span's own fresh K/V]``.
+
+    q: (B, nh, T, hd); gath: page-cache views (B, nh, S, ...) that do NOT yet
+    contain the span (masked strictly below ``pos0`` (B,), the span's start
+    position); fresh: the layer's write dict in write layout — k/v
+    (B, T, nh, hd) (packed hd/2 for int4) + scales (B, T, nh) — quantized with
+    the same math as the cache write, so results match write-then-attend; the
+    span attends to itself causally. Used by the deferred-write
+    `paged_block_chain` so the pool can stay a loop invariant."""
+    B, nh, T, hd = q.shape
+    S = gath["k"].shape[2]
+    scale = 1.0 / (hd**0.5)
+    slot = jnp.arange(S, dtype=pos0.dtype)
+    cmask = jnp.broadcast_to(
+        (slot[None, :] < pos0[:, None])[:, None, None, :], (B, 1, T, S)
+    )
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    mask = jnp.concatenate(
+        [cmask, jnp.broadcast_to(causal[None, None], (B, 1, T, T))], axis=-1
+    )
+    fk = jnp.swapaxes(fresh["k"], 1, 2)  # (B, nh, T, hd[/2])
+    fv = jnp.swapaxes(fresh["v"], 1, 2)
+    if quantized and gath["k"].dtype == jnp.uint8:  # int4 packed
+        from lit_llama_ja_tpu.ops.attention import _unpack4
+
+        fks = jnp.swapaxes(fresh["k_scale"], 1, 2)  # (B, nh, T)
+        fvs = jnp.swapaxes(fresh["v_scale"], 1, 2)
+        lo, hi = _unpack4(gath["k"])
+        flo, fhi = _unpack4(fk)
+        att_c = jnp.einsum(
+            "bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)
+        ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype))
+        att_c = att_c * gath["k_scale"][:, :, None, :].astype(jnp.float32)
+        att_f = jnp.einsum(
+            "bhqd,bhsd->bhqs", q[..., 0::2], flo.astype(q.dtype)
+        ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], fhi.astype(q.dtype))
+        att_f = att_f * fks[:, :, None, :].astype(jnp.float32)
+        att = _masked_softmax(
+            jnp.concatenate([att_c, att_f], -1) * scale, mask
+        )
+        ac = (att[..., :S] * gath["v_scale"][:, :, None, :]).astype(q.dtype)
+        af = (att[..., S:] * fvs[:, :, None, :]).astype(q.dtype)
+        vlo, vhi = _unpack4(gath["v"])
+        fvlo, fvhi = _unpack4(fv)
+        ye = jnp.einsum("bhqs,bhsd->bhqd", ac, vlo.astype(q.dtype)) + jnp.einsum(
+            "bhqs,bhsd->bhqd", af, fvlo.astype(q.dtype)
+        )
+        yo = jnp.einsum("bhqs,bhsd->bhqd", ac, vhi.astype(q.dtype)) + jnp.einsum(
+            "bhqs,bhsd->bhqd", af, fvhi.astype(q.dtype)
+        )
+        return jnp.stack([ye, yo], axis=-1).reshape(B, nh, T, hd)
+    if quantized:
+        fks = jnp.swapaxes(fresh["k_scale"], 1, 2)
+        fvs = jnp.swapaxes(fresh["v_scale"], 1, 2)
+        att_c = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype))
+        att_c = att_c * gath["k_scale"][:, :, None, :].astype(jnp.float32)
+        att_f = jnp.einsum("bhqd,bhsd->bhqs", q, fk.astype(q.dtype))
+        att_f = att_f * fks[:, :, None, :].astype(jnp.float32)
+        att = _masked_softmax(
+            jnp.concatenate([att_c, att_f], -1) * scale, mask
+        )
+        ac = (att[..., :S] * gath["v_scale"][:, :, None, :]).astype(q.dtype)
+        af = (att[..., S:] * fvs[:, :, None, :]).astype(q.dtype)
+        return jnp.einsum(
+            "bhqs,bhsd->bhqd", ac, gath["v"].astype(q.dtype)
+        ) + jnp.einsum("bhqs,bhsd->bhqd", af, fv.astype(q.dtype))
+    att_c = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype))
+    att_f = jnp.einsum("bhqd,bhsd->bhqs", q, fk.astype(q.dtype))
+    att = _masked_softmax(
+        (jnp.concatenate([att_c, att_f], -1) * scale).astype(jnp.float32), mask
+    ).astype(q.dtype)
+    return jnp.einsum(
+        "bhqs,bhsd->bhqd", att[..., :S], gath["v"].astype(q.dtype)
+    ) + jnp.einsum("bhqs,bhsd->bhqd", att[..., S:], fv.astype(q.dtype))
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "quantized", "use_kernel", "attn_chunk"),
@@ -206,11 +284,16 @@ def paged_block_chain(
     quantized,
     use_kernel: bool = False,
     attn_chunk: Optional[int] = None,
+    defer_commit: bool = False,
 ) -> Tuple[jax.Array, PagePool]:
     """The transformer-block chain of `paged_forward` (everything between the
     embedding and the final norm), factored out so pipeline-parallel decode
     (`parallel/pp_decode.py`) can run it on a stage's LOCAL layer shard: the
-    ``blocks``/``pool`` leading L axis may be any contiguous layer slice."""
+    ``blocks``/``pool`` leading L axis may be any contiguous layer slice.
+
+    ``defer_commit=True`` keeps the pool strictly read-only and returns
+    ``(x, writes, page_idx, offs)`` for a separate `commit_writes_jit`
+    dispatch (see the two-dispatch rationale at `commit_writes_jit`)."""
     B, T = x.shape[:2]
     page = pool["k"].shape[3]  # leaves are (L, n_pages, nh, page, hd)
     nh, hd = config.n_head, config.head_dim
@@ -232,21 +315,13 @@ def paged_block_chain(
         out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)
         return out.reshape(B, T, nh, hd).astype(t.dtype)
 
-    def body(carry, layer_in):
-        # The pool rides the scan CARRY (updated via per-layer indexed scatter),
-        # not xs/ys: assembling a stacked-ys pool made XLA materialize two full
-        # pool copies per step (k and v, ~6 ms each at 7B B=16 — device-traced;
-        # the donated input could not alias the ys assembly buffer). Carry
-        # updates lower to in-place dynamic-update-slice/scatter.
-        x, pool = carry
-        block_params, l = layer_in
+    def qkv_writes(x, block_params):
         h = rmsnorm(x, block_params["rms_1"]["scale"], config.norm_eps)
         qkv = apply_linear(block_params["attn"]["c_attn"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = rot(q.reshape(B, T, nh, hd))
         k = rot(k.reshape(B, T, nh, hd))
         v = v.reshape(B, T, nh, hd)
-
         if quantized == "int4":
             from lit_llama_ja_tpu.ops.attention import quantize_kv4
 
@@ -262,51 +337,194 @@ def paged_block_chain(
         else:
             writes = {"k": k.astype(pool["k"].dtype),
                       "v": v.astype(pool["v"].dtype)}
-        # scatter the (B, T) new entries into layer l's (page, nh, offset) rows
-        pool = {
-            key: pool[key].at[l, page_idx, :, offs].set(val)
-            for key, val in writes.items()
-        }
-        cache_l = {key: val[l] for key, val in pool.items()}
-        if use_kernel and T == 1 and quantized and quantized != "int4":
-            from lit_llama_ja_tpu.ops.pallas.paged_attention import (
-                paged_decode_attention,
-            )
+        return q, writes
 
-            y = paged_decode_attention(
-                q[:, 0].astype(jnp.bfloat16),
-                cache_l["k"], cache_l["k_scale"],
-                cache_l["v"], cache_l["v_scale"],
-                tables, pos[:, 0],
-            )[:, :, None].astype(x.dtype)  # (B, nh, 1, hd)
-        elif T == 1 and attn_chunk and attn_chunk < B and B % attn_chunk == 0:
-            qT = q.transpose(0, 2, 1, 3)  # (B, nh, 1, hd)
-            nc = B // attn_chunk
-            qc = qT.reshape(nc, attn_chunk, nh, 1, hd)
-            tc = tables.reshape(nc, attn_chunk, tables.shape[1])
-            pc = pos.reshape(nc, attn_chunk, 1)
-
-            def one(args):
-                qq, tt, pp = args
-                return _paged_attention(qq, _gathered(cache_l, tt), pp, quantized)
-
-            y = jax.lax.map(one, (qc, tc, pc)).reshape(B, nh, 1, hd)
-        else:
-            gath = _gathered(cache_l, tables)
-            y = _paged_attention(q.transpose(0, 2, 1, 3), gath, pos, quantized)
+    def finish(x, block_params, y):
         y = y.transpose(0, 2, 1, 3).reshape(B, T, config.n_embd)
         x = x + apply_linear(block_params["attn"]["c_proj"], y)
-        x = x + mlp_block(
+        return x + mlp_block(
             block_params["mlp"],
             rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps),
         )
-        return (x, pool), None
 
     L = jax.tree.leaves(blocks)[0].shape[0]
-    (x, pool), _ = jax.lax.scan(
-        body, (x, pool), (blocks, jnp.arange(L, dtype=jnp.int32))
+
+    if use_kernel:
+        assert not defer_commit, "kernel path writes per-layer (no defer)"
+        # Legacy write-then-attend path: the Pallas kernel reads the current
+        # token's K/V from the pool, so each layer must scatter BEFORE
+        # attending. The pool rides the scan carry (in-place per-layer
+        # scatter). Kept only for the kernel variant — default OFF.
+        def kbody(carry, layer_in):
+            x, pool = carry
+            block_params, l = layer_in
+            q, writes = qkv_writes(x, block_params)
+            pool = {
+                key: pool[key].at[l, page_idx, :, offs].set(val)
+                for key, val in writes.items()
+            }
+            cache_l = {key: val[l] for key, val in pool.items()}
+            if T == 1 and quantized and quantized != "int4":
+                from lit_llama_ja_tpu.ops.pallas.paged_attention import (
+                    paged_decode_attention,
+                )
+
+                y = paged_decode_attention(
+                    q[:, 0].astype(jnp.bfloat16),
+                    cache_l["k"], cache_l["k_scale"],
+                    cache_l["v"], cache_l["v_scale"],
+                    tables, pos[:, 0],
+                )[:, :, None].astype(x.dtype)  # (B, nh, 1, hd)
+            else:
+                gath = _gathered(cache_l, tables)
+                y = _paged_attention(
+                    q.transpose(0, 2, 1, 3), gath, pos, quantized
+                )
+            return (finish(x, block_params, y), pool), None
+
+        (x, pool), _ = jax.lax.scan(
+            kbody, (x, pool), (blocks, jnp.arange(L, dtype=jnp.int32))
+        )
+        return x, pool
+
+    # Deferred-write path (default): the pool is a loop-INVARIANT operand —
+    # each layer gathers the stale cache (masked strictly below the span
+    # start) and attends to the span's own tokens through explicit fresh
+    # columns (quantized with the same math as the write, so numerics match
+    # write-then-attend); the layer writes come out as tiny scan ys and ONE
+    # batched scatter applies them all after the scan. Rationale (device
+    # trace, 7B B=16): carrying the 2.15 GB k/v pools through the scan made
+    # XLA relayout-copy each of them on while-entry AND while-exit — 4 × ~6 ms
+    # = 30% of the decode step; an invariant pool + donated-input scatter
+    # aliases cleanly and eliminates all four copies.
+    def body(x, layer_in):
+        block_params, l = layer_in
+        q, writes = qkv_writes(x, block_params)
+        cache_l = {key: val[l] for key, val in pool.items()}
+        if T == 1 and attn_chunk and attn_chunk < B and B % attn_chunk == 0:
+            nc = B // attn_chunk
+            qc = q.transpose(0, 2, 1, 3).reshape(nc, attn_chunk, nh, 1, hd)
+            tc = tables.reshape(nc, attn_chunk, tables.shape[1])
+            p0c = pos[:, 0].reshape(nc, attn_chunk)
+            frc = jax.tree.map(
+                lambda w: w.reshape(nc, attn_chunk, *w.shape[1:]), writes
+            )
+
+            def one(args):
+                qq, tt, pp0, fr = args
+                return _span_attention(
+                    qq, _gathered(cache_l, tt), fr, pp0, quantized
+                )
+
+            y = jax.lax.map(one, (qc, tc, p0c, frc)).reshape(B, nh, 1, hd)
+        else:
+            gath = _gathered(cache_l, tables)
+            y = _span_attention(
+                q.transpose(0, 2, 1, 3), gath, writes, pos[:, 0], quantized
+            )
+        return finish(x, block_params, y), writes
+
+    x, all_writes = jax.lax.scan(
+        body, x, (blocks, jnp.arange(L, dtype=jnp.int32))
     )
-    return x, pool
+    if defer_commit:
+        return x, all_writes, page_idx, offs
+    # In-jit commit for callers that keep the round in one program (spec/tree
+    # rounds, pp stages): one dynamic-update-slice per (slot, token), covering
+    # ALL layers at once (page/offset do not depend on the layer). Trash-page
+    # routing for padding/idle slots is unchanged (their page_idx is 0; last
+    # duplicate write wins).
+    return x, commit_writes(pool, all_writes, page_idx, offs)
+
+
+def commit_writes(
+    pool: PagePool,
+    all_writes: Dict[str, jax.Array],  # leaves (L, B, T, nh, ...)
+    page_idx: jax.Array,  # (B, T)
+    offs: jax.Array,  # (B, T)
+) -> PagePool:
+    """Write per-(slot, token) KV entries for all layers into the pool via a
+    chain of in-place dynamic-update-slices on the donated buffers."""
+    BT = page_idx.size
+    flat = {
+        key: val.reshape(val.shape[0], BT, *val.shape[3:])
+        for key, val in all_writes.items()
+    }
+    pflat = page_idx.reshape(BT)
+    oflat = offs.reshape(BT)
+
+    def write_one(i, pool):
+        p, o = pflat[i], oflat[i]
+        new = {}
+        for key, leaf in pool.items():
+            upd = jax.lax.dynamic_slice_in_dim(flat[key], i, 1, axis=1)
+            upd = jnp.expand_dims(upd, 3)  # (L, 1, nh, 1[, hd])
+            new[key] = jax.lax.dynamic_update_slice(
+                leaf, upd.astype(leaf.dtype), (0, p, 0, o, 0)[: leaf.ndim]
+            )
+        return new
+
+    return jax.lax.fori_loop(0, BT, write_one, pool)
+
+
+# Write-only commit program: donated pool, no reads → XLA updates in place
+# (~0.05 ms measured for a B=16 step at 7B). Any program that BOTH gathers
+# from and writes to the multi-GB pool pays full pool copies instead (XLA's
+# copy insertion cannot prove the read-before-write safe: measured ~25 ms/step
+# of copy thunks at B=16 whether the write was a scan-carry scatter, a batched
+# scatter, or a DUS chain) — hence the two-dispatch split below.
+commit_writes_jit = jax.jit(commit_writes, donate_argnums=(0,))
+
+
+@partial(jax.jit, static_argnames=("config", "quantized", "attn_chunk"))
+def paged_forward_read(
+    params,
+    toks: jax.Array,  # (B, T)
+    pos: jax.Array,  # (B, T)
+    tables: jax.Array,  # (B, AP)
+    pool: PagePool,
+    config: LLaMAConfig,
+    quantized: bool,
+    attn_chunk: Optional[int] = None,
+):
+    """Read-only half of `paged_forward`: the pool is NOT donated and never
+    written — the span's K/V comes back as ``writes`` for a separate
+    `commit_writes_jit` dispatch. Returns (logits, writes, page_idx, offs)."""
+    x = params["wte"]["weight"][toks]
+    x, writes, page_idx, offs = paged_block_chain(
+        params["blocks"], pool, x, pos, tables, config, quantized,
+        attn_chunk=attn_chunk, defer_commit=True,
+    )
+    x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
+    return apply_linear(params["lm_head"], x), writes, page_idx, offs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "quantized", "top_k", "top_p", "attn_chunk"),
+)
+def _paged_decode_read_and_sample(
+    params,
+    toks: jax.Array,  # (B,)
+    pos: jax.Array,  # (B,)
+    tables: jax.Array,  # (B, AP)
+    pool: PagePool,
+    key: jax.Array,
+    temps: jax.Array,
+    config: LLaMAConfig,
+    quantized: bool,
+    top_k: Optional[int],
+    top_p: Optional[float] = None,
+    attn_chunk: Optional[int] = None,
+):
+    """Two-dispatch decode, read half: like `_paged_decode_and_sample` but the
+    pool stays read-only; pair with `commit_writes_jit`."""
+    logits, writes, page_idx, offs = paged_forward_read(
+        params, toks[:, None], pos[:, None], tables, pool, config, quantized,
+        attn_chunk,
+    )
+    nxt = sample_next_token(logits[:, 0], key, temps, top_k, top_p)
+    return nxt, writes, page_idx, offs
 
 
 @partial(
@@ -574,7 +792,7 @@ class PagedEngine:
                 self.pool,
             )
         else:
-            logits, self.pool = paged_forward(
+            logits, writes, pi, of = paged_forward_read(
                 self.params,
                 jnp.asarray(padded[None]),
                 jnp.asarray(pos[None]),
@@ -583,6 +801,7 @@ class PagedEngine:
                 self.config,
                 self.quantized,
             )
+            self.pool = commit_writes_jit(self.pool, writes, pi, of)
         if want_logits:
             return np.asarray(logits[0, T - 1])
         return None
@@ -784,7 +1003,10 @@ class PagedEngine:
                 self.top_p,
             )
         else:
-            nxt, self.pool = _paged_decode_and_sample(
+            # two-dispatch decode: read-only forward+sample, then the
+            # write-only in-place commit (see `commit_writes_jit`) — a fused
+            # program pays full pool copies (+32% step time at B=16)
+            nxt, writes, pi, of = _paged_decode_read_and_sample(
                 self.params,
                 jnp.asarray(self.cur),
                 jnp.asarray(self.pos),
@@ -796,9 +1018,9 @@ class PagedEngine:
                 self.quantized,
                 self.top_k,
                 self.top_p,
-                False,
                 self.attn_chunk,
             )
+            self.pool = commit_writes_jit(self.pool, writes, pi, of)
         nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []
         for slot, req in enumerate(self.slot_req):

@@ -31,8 +31,10 @@ from lit_llama_ja_tpu.core.config import LLaMAConfig
 from lit_llama_ja_tpu.infer.paged import (
     PagedEngine,
     PagePool,
+    commit_writes_jit,
     init_page_pool,
     paged_forward,
+    paged_forward_read,
 )
 
 
@@ -169,7 +171,7 @@ def _accept_chain(
 @partial(
     jax.jit,
     static_argnames=("tcfg", "dcfg", "K", "quantized", "top_k", "top_p"),
-    donate_argnums=(6, 7),
+    donate_argnums=(7,),
 )
 def _batched_spec_round(
     tparams,
@@ -188,9 +190,15 @@ def _batched_spec_round(
     quantized: bool,
     top_k: Optional[int],
     top_p: Optional[float],
-) -> Tuple[jax.Array, jax.Array, PagePool, PagePool]:
+):
     """One batched draft+verify round; returns (tokens (B, K+1), n_out (B,),
-    target pool, draft pool). ``tokens[b, :n_out[b]]`` are slot b's new tokens."""
+    target writes + indices for `commit_writes_jit`, draft pool).
+
+    The TARGET pool stays read-only here — its span writes commit in a
+    separate write-only dispatch (a fused read+write program pays full pool
+    copies, see `infer/paged.commit_writes_jit`). The DRAFT pool still
+    updates in-program (its K-step scan needs each token's K/V on the next
+    step, and the pool is small)."""
     kd, kacc, kfin = jax.random.split(key, 3)
     draft_toks, p_d, dpool = _draft_propose(
         dparams, prev, cur, pos, tables, dpool, dcfg, K, temps, top_k, top_p, kd
@@ -198,13 +206,13 @@ def _batched_spec_round(
     # --- target: verify all K+1 positions per slot in one forward -----------
     tin = jnp.concatenate([cur[:, None], draft_toks], axis=1)  # (B, K+1)
     tpos = pos[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None]
-    tlogits, tpool = paged_forward(
+    tlogits, twrites, t_pi, t_of = paged_forward_read(
         tparams, tin, tpos, tables, tpool, tcfg, quantized
     )
     tokens, n_out = _accept_chain(
         tlogits, draft_toks, p_d, temps, top_k, top_p, kacc, kfin
     )
-    return tokens, n_out, tpool, dpool
+    return tokens, n_out, (twrites, t_pi, t_of), dpool
 
 
 class SpeculativePagedEngine(PagedEngine):
@@ -389,7 +397,7 @@ class SpeculativePagedEngine(PagedEngine):
                 self.top_p,
             )
         else:
-            tokens, n_out, self.pool, self.dpool = _batched_spec_round(
+            tokens, n_out, tcommit, self.dpool = _batched_spec_round(
                 self.params,
                 self.dparams,
                 jnp.asarray(self.prev),
@@ -407,6 +415,7 @@ class SpeculativePagedEngine(PagedEngine):
                 self.top_k,
                 self.top_p,
             )
+            self.pool = commit_writes_jit(self.pool, *tcommit)
         tokens = np.asarray(tokens)  # (B, K+1)
         n_out = np.asarray(n_out)
         # acceptance telemetry: n_out-1 of K drafts survived the rejection

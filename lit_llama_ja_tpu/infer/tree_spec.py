@@ -49,6 +49,8 @@ from lit_llama_ja_tpu.infer.paged import (
     PagePool,
     _gathered,
     _masked_softmax,
+    commit_writes,
+    commit_writes_jit,
 )
 from lit_llama_ja_tpu.infer.spec_serving import (
     SpeculativePagedEngine,
@@ -241,14 +243,14 @@ def tree_forward(
     return apply_linear(params["lm_head"], x), ks, vs
 
 
-def _commit_path(pool, ks, vs, path, keep, pos, tables, quantized):
-    """Scatter the accepted path's fresh K/V into the page pool.
+def _path_writes(ks, vs, path, keep, pos, tables, page, quantized):
+    """Commit payload for the accepted path's fresh K/V.
 
     ks/vs: (L, B, W, nh, hd) from `tree_forward`; path: (B, J) node indices
     (path[:, 0] = 0 = root); keep: (B, J) bool (False → trash page 0);
-    depth j commits at position ``pos + j``. One scan over layers, donated pool.
+    depth j commits at position ``pos + j``. Returns (writes, page_idx, offs)
+    for `commit_writes`/`commit_writes_jit`.
     """
-    page = pool["k"].shape[3]
     B, J = path.shape
     positions = pos[:, None] + jnp.arange(J, dtype=jnp.int32)[None, :]
     pg = jnp.take_along_axis(
@@ -259,32 +261,22 @@ def _commit_path(pool, ks, vs, path, keep, pos, tables, quantized):
     bar = jnp.arange(B)[:, None]
     selk = ks[:, bar, path]  # (L, B, J, nh, hd)
     selv = vs[:, bar, path]
+    if quantized == "int4":
+        from lit_llama_ja_tpu.ops.attention import quantize_kv4
 
-    def body(_, xs):
-        cache_l, wk, wv = xs
-        if quantized == "int4":
-            from lit_llama_ja_tpu.ops.attention import quantize_kv4
+        kq, ksc, vq, vsc = quantize_kv4(selk, selv)
+        writes = {"k": kq, "v": vq,
+                  "k_scale": ksc[..., 0], "v_scale": vsc[..., 0]}
+    elif quantized:
+        from lit_llama_ja_tpu.ops.attention import quantize_kv
 
-            kq, ksc, vq, vsc = quantize_kv4(wk, wv)
-            writes = {"k": kq, "v": vq,
-                      "k_scale": ksc[..., 0], "v_scale": vsc[..., 0]}
-        elif quantized:
-            from lit_llama_ja_tpu.ops.attention import quantize_kv
-
-            kq, ksc, vq, vsc = quantize_kv(wk, wv)
-            writes = {"k": kq, "v": vq,
-                      "k_scale": ksc[..., 0], "v_scale": vsc[..., 0]}
-        else:
-            writes = {"k": wk.astype(cache_l["k"].dtype),
-                      "v": wv.astype(cache_l["v"].dtype)}
-        new = {
-            key: cache_l[key].at[page_idx, :, offs].set(val)
-            for key, val in writes.items()
-        }
-        return None, new
-
-    _, new_pool = jax.lax.scan(body, None, (pool, selk, selv))
-    return new_pool
+        kq, ksc, vq, vsc = quantize_kv(selk, selv)
+        writes = {"k": kq, "v": vq,
+                  "k_scale": ksc[..., 0], "v_scale": vsc[..., 0]}
+    else:
+        # commit_writes casts to the pool leaf dtype at write time
+        writes = {"k": selk, "v": selv}
+    return writes, page_idx, offs
 
 
 # --------------------------------------------------------------------------
@@ -367,7 +359,7 @@ def tree_accept_walk(
 @partial(
     jax.jit,
     static_argnames=("tcfg", "dcfg", "branching", "quantized", "top_k", "top_p"),
-    donate_argnums=(4, 5),
+    donate_argnums=(5,),
 )
 def _tree_spec_round(
     tparams,
@@ -388,8 +380,11 @@ def _tree_spec_round(
 ):
     """One batched tree round: draft-expand level by level (cacheless partial-
     tree forwards), verify all nodes in one target forward, walk, commit the
-    accepted path into BOTH pools. Returns (tokens (B, D+1), n_out (B,),
-    target pool, draft pool)."""
+    accepted path. Returns (tokens (B, D+1), n_out (B,), target commit
+    payload for `commit_writes_jit` (the big target pool stays read-only
+    here — a fused read+write program pays full pool copies, see
+    `infer/paged.commit_writes_jit`), draft pool (small, committed
+    in-program))."""
     topo = tree_topology(branching)
     NT, D = topo["n_nodes"], topo["depth"]
     B = cur.shape[0]
@@ -454,9 +449,12 @@ def _tree_spec_round(
         p_all, q_all, toks, branching, kwalk, temps
     )
     keep = jnp.arange(D + 1, dtype=jnp.int32)[None, :] <= n_acc[:, None]
-    tpool = _commit_path(tpool, tks, tvs, path, keep, pos, tables, quantized)
-    dpool = _commit_path(dpool, dks, dvs, path, keep, pos, tables, False)
-    return tokens, n_out, tpool, dpool
+    page = dpool["k"].shape[3]
+    tcommit = _path_writes(tks, tvs, path, keep, pos, tables, page, quantized)
+    dpool = commit_writes(
+        dpool, *_path_writes(dks, dvs, path, keep, pos, tables, page, False)
+    )
+    return tokens, n_out, tcommit, dpool
 
 
 # --------------------------------------------------------------------------
@@ -506,7 +504,7 @@ class TreeSpeculativePagedEngine(SpeculativePagedEngine):
         )
         ap = min(bucket_length(max_pages, minimum=1), self.maxP)
         self.key, sub = jax.random.split(self.key)
-        tokens, n_out, self.pool, self.dpool = _tree_spec_round(
+        tokens, n_out, tcommit, self.dpool = _tree_spec_round(
             self.params,
             self.dparams,
             jnp.asarray(self.cur),
@@ -523,6 +521,7 @@ class TreeSpeculativePagedEngine(SpeculativePagedEngine):
             self.top_k,
             self.top_p,
         )
+        self.pool = commit_writes_jit(self.pool, *tcommit)
         tokens = np.asarray(tokens)
         n_out = np.asarray(n_out)
         round_drafted = round_accepted = 0
