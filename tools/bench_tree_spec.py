@@ -49,28 +49,43 @@ def fresh_pools():
 
 
 def time_rounds(fn):
-    """fn(tpool, dpool) -> (tokens, n_out, tpool, dpool); returns ms/round."""
+    """fn(tpool, dpool) -> (tokens, n_out, tcommit, dpool); measures the full
+    round INCLUDING the separate target-pool commit dispatch; returns ms."""
+    from lit_llama_ja_tpu.infer.paged import commit_writes_jit
+
     tpool, dpool = fresh_pools()
-    toks, _, tpool, dpool = fn(tpool, dpool)  # compile
+    toks, _, tcommit, dpool = fn(tpool, dpool)  # compile
+    tpool = commit_writes_jit(tpool, *tcommit)
     _ = np.asarray(toks)
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
-        toks, _, tpool, dpool = fn(tpool, dpool)
+        toks, _, tcommit, dpool = fn(tpool, dpool)
+        tpool = commit_writes_jit(tpool, *tcommit)
     _ = np.asarray(toks)
     return (time.perf_counter() - t0) / ROUNDS * 1e3
 
 
-# --- plain decode step baseline ---------------------------------------------
-tpool, _ = fresh_pools()
-nxt, tpool = _paged_decode_and_sample(
-    tparams, cur, pos, tables, tpool, key, temps, tcfg, True, None
+# --- plain decode step baseline (two-dispatch, same as the engine) ----------
+from lit_llama_ja_tpu.infer.paged import (
+    _paged_decode_read_and_sample,
+    commit_writes_jit,
 )
+
+tpool, _ = fresh_pools()
+
+
+def plain_step(nxt, tpool):
+    nxt, writes, pi, of = _paged_decode_read_and_sample(
+        tparams, nxt, pos, tables, tpool, key, temps, tcfg, True, None
+    )
+    return nxt, commit_writes_jit(tpool, writes, pi, of)
+
+
+nxt, tpool = plain_step(cur, tpool)
 _ = np.asarray(nxt)
 t0 = time.perf_counter()
 for _ in range(ROUNDS):
-    nxt, tpool = _paged_decode_and_sample(
-        tparams, nxt, pos, tables, tpool, key, temps, tcfg, True, None
-    )
+    nxt, tpool = plain_step(nxt, tpool)
 _ = np.asarray(nxt)
 step_ms = (time.perf_counter() - t0) / ROUNDS * 1e3
 print(f"plain decode step:        {step_ms:6.1f} ms  (cost 1.00x)")
