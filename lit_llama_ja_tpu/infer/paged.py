@@ -615,6 +615,7 @@ class PagedEngine:
         seed: int = 0,
         pp_mesh=None,
         pp_microbatches: int = 1,
+        pp_split: bool = True,
     ):
         """``prefill_chunk``: process prompts in chunks of at most this many
         tokens, interleaved with decode steps — a long prompt no longer stalls
@@ -626,7 +627,13 @@ class PagedEngine:
         the page pool shard their layer axis across stages; all allocator /
         prefix-sharing / preemption bookkeeping is layer-oblivious and works
         unchanged. ``pp_microbatches``: GPipe wavefront width for the decode
-        step (must divide max_batch; M ≥ pp keeps stages busy)."""
+        step (must divide max_batch; M ≥ pp keeps stages busy).
+        ``pp_split``: run the pp decode/prefill as two dispatches (read-only
+        forward + write-only in-place commit) like the single-mesh path —
+        bitwise-identical, avoids the donated-pool copies a fused read+write
+        program pays. False = fused single-program step (lower dispatch count;
+        the memory-pressure fallback, cf. the single-chip B=32 note in
+        PERF.md)."""
         self.params = params
         self.config = config
         self.B = max_batch
@@ -640,23 +647,36 @@ class PagedEngine:
         self.pool = init_page_pool(
             config, n_pages, page_size, jnp.bfloat16, quantize_kv
         )
-        self._pp_step = self._pp_prefill = None
+        self._pp_step = self._pp_prefill = self._pp_commit = None
         if pp_mesh is not None:
             from lit_llama_ja_tpu.parallel.pipeline import shard_params_pp
             from lit_llama_ja_tpu.parallel.pp_decode import (
+                make_pp_commit,
+                make_pp_decode_read,
                 make_pp_decode_step,
                 make_pp_prefill,
+                make_pp_prefill_read,
                 shard_pool_pp,
             )
 
             assert max_batch % pp_microbatches == 0
-            self._pp_step = make_pp_decode_step(
-                config, pp_mesh, params, self.pool,
-                n_micro=pp_microbatches, quantized=quantize_kv,
-            )
-            self._pp_prefill = make_pp_prefill(
-                config, pp_mesh, params, self.pool, quantized=quantize_kv
-            )
+            if pp_split:
+                self._pp_step = make_pp_decode_read(
+                    config, pp_mesh, params, self.pool,
+                    n_micro=pp_microbatches, quantized=quantize_kv,
+                )
+                self._pp_prefill = make_pp_prefill_read(
+                    config, pp_mesh, params, self.pool, quantized=quantize_kv
+                )
+                self._pp_commit = make_pp_commit(pp_mesh, self.pool)
+            else:
+                self._pp_step = make_pp_decode_step(
+                    config, pp_mesh, params, self.pool,
+                    n_micro=pp_microbatches, quantized=quantize_kv,
+                )
+                self._pp_prefill = make_pp_prefill(
+                    config, pp_mesh, params, self.pool, quantized=quantize_kv
+                )
             self.params = shard_params_pp(params, pp_mesh)
             self.pool = shard_pool_pp(self.pool, pp_mesh)
         # host-side allocator state; page 0 is the reserved trash page
@@ -784,13 +804,23 @@ class PagedEngine:
         # their table entries are 0 already (trash), and attention masks them.
         self._prefill_tokens += T
         if self._pp_prefill is not None:
-            logits, self.pool = self._pp_prefill(
-                self.params,
-                jnp.asarray(padded[None]),
-                jnp.asarray(pos[None]),
-                jnp.asarray(table[None]),
-                self.pool,
-            )
+            if self._pp_commit is not None:  # two-dispatch pp prefill
+                logits, writes, pi, of = self._pp_prefill(
+                    self.params,
+                    jnp.asarray(padded[None]),
+                    jnp.asarray(pos[None]),
+                    jnp.asarray(table[None]),
+                    self.pool,
+                )
+                self.pool = self._pp_commit(self.pool, writes, pi, of)
+            else:
+                logits, self.pool = self._pp_prefill(
+                    self.params,
+                    jnp.asarray(padded[None]),
+                    jnp.asarray(pos[None]),
+                    jnp.asarray(table[None]),
+                    self.pool,
+                )
         else:
             logits, writes, pi, of = paged_forward_read(
                 self.params,
@@ -991,17 +1021,31 @@ class PagedEngine:
         ap = min(bucket_length(max_pages, minimum=1), self.maxP)
         self.key, sub = jax.random.split(self.key)
         if self._pp_step is not None:
-            nxt, self.pool = self._pp_step(
-                self.params,
-                jnp.asarray(self.cur),
-                jnp.asarray(self.pos),
-                jnp.asarray(self.tables[:, :ap]),
-                self.pool,
-                sub,
-                jnp.asarray(self.temps),
-                self.top_k,
-                self.top_p,
-            )
+            if self._pp_commit is not None:  # two-dispatch pp decode
+                nxt, writes, pi, of = self._pp_step(
+                    self.params,
+                    jnp.asarray(self.cur),
+                    jnp.asarray(self.pos),
+                    jnp.asarray(self.tables[:, :ap]),
+                    self.pool,
+                    sub,
+                    jnp.asarray(self.temps),
+                    self.top_k,
+                    self.top_p,
+                )
+                self.pool = self._pp_commit(self.pool, writes, pi, of)
+            else:
+                nxt, self.pool = self._pp_step(
+                    self.params,
+                    jnp.asarray(self.cur),
+                    jnp.asarray(self.pos),
+                    jnp.asarray(self.tables[:, :ap]),
+                    self.pool,
+                    sub,
+                    jnp.asarray(self.temps),
+                    self.top_k,
+                    self.top_p,
+                )
         else:
             # two-dispatch decode: read-only forward+sample, then the
             # write-only in-place commit (see `commit_writes_jit`) — a fused

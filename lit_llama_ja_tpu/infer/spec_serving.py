@@ -373,6 +373,10 @@ class SpeculativePagedEngine(PagedEngine):
         ap = min(bucket_length(max_pages, minimum=1), self.maxP)
         self.key, sub = jax.random.split(self.key)
         if self._pp_mesh is not None:
+            # two-dispatch when the engine has a pp commit program (pp_split,
+            # the default): the round leaves the target pool read-only and the
+            # span K/V commits in place afterwards
+            defer = self._pp_commit is not None
             rnd = self._pp_rounds.get(self.K)
             if rnd is None:
                 from lit_llama_ja_tpu.parallel.pp_spec import make_pp_spec_round
@@ -380,10 +384,10 @@ class SpeculativePagedEngine(PagedEngine):
                 rnd = make_pp_spec_round(
                     self.config, self.dcfg, self._pp_mesh, self.params,
                     self.pool, K=self.K, n_micro=self._pp_micro,
-                    quantized=self.quantized,
+                    quantized=self.quantized, defer_commit=defer,
                 )
                 self._pp_rounds[self.K] = rnd
-            tokens, n_out, self.pool, self.dpool = rnd(
+            tokens, n_out, third, self.dpool = rnd(
                 self.params,
                 self.dparams,
                 jnp.asarray(self.prev),
@@ -397,6 +401,10 @@ class SpeculativePagedEngine(PagedEngine):
                 self.top_k,
                 self.top_p,
             )
+            if defer:
+                self.pool = self._pp_commit(self.pool, *third)
+            else:
+                self.pool = third
         else:
             tokens, n_out, tcommit, self.dpool = _batched_spec_round(
                 self.params,

@@ -180,24 +180,25 @@ def _tree_attention(q, gath, fk, fv, pos_base, tmask, quantized):
     ) + jnp.einsum("bhqs,bhsd->bhqd", att[..., S:], fv.astype(q.dtype))
 
 
-def tree_forward(
-    params,
-    toks: jax.Array,  # (B, W) tree-node tokens (node 0 = cur)
+def tree_block_chain(
+    blocks,
+    pool: PagePool,
+    x: jax.Array,  # (B, W, D) embedded tree-node inputs
     pos: jax.Array,  # (B,) committed length; node i sits at pos + depth[i]
     tables: jax.Array,  # (B, AP)
-    pool: PagePool,
     config: LLaMAConfig,
     depths: np.ndarray,  # (W,) static
     tmask: np.ndarray,  # (W, W) static ancestor mask
     quantized,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Cache-write-free forward over W tree nodes. Returns
-    (logits (B, W, V), fresh k (L, B, W, nh, hd), fresh v (same)) — the K/V ys
-    feed `_commit_path` after the acceptance walk."""
-    B, W = toks.shape
+    """The cache-write-free transformer chain of `tree_forward` (between the
+    embedding and the final norm), factored out so pipeline-parallel tree
+    verification (`parallel/pp_spec.make_pp_tree_verify`) can run it on a
+    stage's LOCAL layer shard: the ``blocks``/``pool`` leading L axis may be
+    any contiguous layer slice. Returns (x, ks (L, B, W, nh, hd), vs)."""
+    B, W = x.shape[:2]
     nh, hd = config.n_head, config.head_dim
     page = pool["k"].shape[3]
-    x = params["wte"]["weight"][toks]
     node_pos = pos[:, None] + jnp.asarray(depths, jnp.int32)[None, :]  # (B, W)
     rope_len = max(config.block_size, tables.shape[1] * page)
     rope_full = build_rope_cache(rope_len, hd, config.rope_base)
@@ -238,7 +239,28 @@ def tree_forward(
         )
         return x, (k, v)
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["blocks"], pool))
+    return jax.lax.scan(body, x, (blocks, pool))
+
+
+def tree_forward(
+    params,
+    toks: jax.Array,  # (B, W) tree-node tokens (node 0 = cur)
+    pos: jax.Array,  # (B,) committed length; node i sits at pos + depth[i]
+    tables: jax.Array,  # (B, AP)
+    pool: PagePool,
+    config: LLaMAConfig,
+    depths: np.ndarray,  # (W,) static
+    tmask: np.ndarray,  # (W, W) static ancestor mask
+    quantized,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Cache-write-free forward over W tree nodes. Returns
+    (logits (B, W, V), fresh k (L, B, W, nh, hd), fresh v (same)) — the K/V ys
+    feed `_commit_path` after the acceptance walk."""
+    x = params["wte"]["weight"][toks]
+    x, (ks, vs) = tree_block_chain(
+        params["blocks"], pool, x, pos, tables, config, depths, tmask,
+        quantized,
+    )
     x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
     return apply_linear(params["lm_head"], x), ks, vs
 
@@ -353,6 +375,75 @@ def tree_accept_walk(
     return out, n_acc + 1, path, n_acc
 
 
+def _tree_draft_propose(
+    dparams,
+    cur: jax.Array,  # (B,)
+    pos: jax.Array,  # (B,)
+    tables: jax.Array,  # (B, AP)
+    dpool: PagePool,
+    dcfg: LLaMAConfig,
+    branching: Tuple[int, ...],
+    temps: jax.Array,
+    top_k: Optional[int],
+    top_p: Optional[float],
+    key: jax.Array,
+):
+    """Draft side of a tree round: expand the candidate tree level-by-level
+    with cacheless partial-tree forwards (the draft is small — recompute is
+    cheaper than a colliding cache write), then one full-width forward to
+    capture the draft's per-layer K/V for the post-walk path commit. Shared by
+    the single-mesh round and the pipeline-parallel round (the draft runs
+    REPLICATED over the pp mesh). Returns (toks (B, NT), q_all (B, NT, V)
+    draft dists at non-leaf nodes, dks, dvs (L, B, NT, nh, hd))."""
+    topo = tree_topology(branching)
+    NT, D = topo["n_nodes"], topo["depth"]
+    B = cur.shape[0]
+    V = dcfg.padded_vocab_size
+
+    toks = jnp.zeros((B, NT), jnp.int32).at[:, 0].set(cur)
+    q_all = jnp.zeros((B, NT, V), jnp.float32)
+    exp_keys = jax.random.split(key, D)
+
+    for d in range(D):
+        W = int(topo["levels"][d][-1]) + 1  # nodes 0 .. end of level d
+        logits, _, _ = tree_forward(
+            dparams, toks[:, :W], pos, tables, dpool, dcfg,
+            topo["depths"][:W], topo["anc"][:W, :W], False,
+        )
+        par_idx = topo["levels"][d]  # (n_par,) static
+        n_par = len(par_idx)
+        par_logits = logits[:, par_idx]  # (B, n_par, V)
+        dists = _dist_batch(
+            par_logits.reshape(B * n_par, V),
+            jnp.repeat(temps, n_par),
+            top_k,
+            top_p,
+        ).reshape(B, n_par, V)
+        q_all = q_all.at[:, par_idx].set(dists)
+        b = branching[d]
+        new_idx = topo["levels"][d + 1]  # (n_par * b,) parent-major
+        # i.i.d. samples from each parent's dist (temp > 0) ...
+        rep = jnp.repeat(dists, b, axis=1)  # (B, n_par*b, V)
+        sampled = jax.random.categorical(
+            exp_keys[d], jnp.log(rep + 1e-30), axis=-1
+        ).astype(jnp.int32)
+        # ... or the draft's top-b logit tokens (temp == 0, distinct): new
+        # nodes are parent-major, so node m belongs to parent m//b at sibling
+        # rank m%b — both static index arrays
+        top_toks = jax.lax.top_k(par_logits, b)[1].astype(jnp.int32)
+        ranks = topo["ranks"][new_idx]  # (n_par*b,) static sibling ranks
+        greedy = top_toks[:, np.repeat(np.arange(n_par), b), ranks]
+        chosen = jnp.where((temps > 0)[:, None], sampled, greedy)
+        toks = toks.at[:, new_idx].set(chosen)
+
+    # draft K/V capture (full tree, all tokens now filled)
+    _, dks, dvs = tree_forward(
+        dparams, toks, pos, tables, dpool, dcfg,
+        topo["depths"], topo["anc"], False,
+    )
+    return toks, q_all, dks, dvs
+
+
 # --------------------------------------------------------------------------
 # the fused round program
 # --------------------------------------------------------------------------
@@ -388,50 +479,12 @@ def _tree_spec_round(
     topo = tree_topology(branching)
     NT, D = topo["n_nodes"], topo["depth"]
     B = cur.shape[0]
-    V = dcfg.padded_vocab_size
-
-    toks = jnp.zeros((B, NT), jnp.int32).at[:, 0].set(cur)
-    q_all = jnp.zeros((B, NT, V), jnp.float32)
     kexp, kwalk = jax.random.split(key)
-    exp_keys = jax.random.split(kexp, D)
 
-    # --- draft expansion: level d's parents' dists sample level d+1 ---------
-    for d in range(D):
-        W = int(topo["levels"][d][-1]) + 1  # nodes 0 .. end of level d
-        logits, _, _ = tree_forward(
-            dparams, toks[:, :W], pos, tables, dpool, dcfg,
-            topo["depths"][:W], topo["anc"][:W, :W], False,
-        )
-        par_idx = topo["levels"][d]  # (n_par,) static
-        n_par = len(par_idx)
-        par_logits = logits[:, par_idx]  # (B, n_par, V)
-        dists = _dist_batch(
-            par_logits.reshape(B * n_par, V),
-            jnp.repeat(temps, n_par),
-            top_k,
-            top_p,
-        ).reshape(B, n_par, V)
-        q_all = q_all.at[:, par_idx].set(dists)
-        b = branching[d]
-        new_idx = topo["levels"][d + 1]  # (n_par * b,) parent-major
-        # i.i.d. samples from each parent's dist (temp > 0) ...
-        rep = jnp.repeat(dists, b, axis=1)  # (B, n_par*b, V)
-        sampled = jax.random.categorical(
-            exp_keys[d], jnp.log(rep + 1e-30), axis=-1
-        ).astype(jnp.int32)
-        # ... or the draft's top-b logit tokens (temp == 0, distinct): new
-        # nodes are parent-major, so node m belongs to parent m//b at sibling
-        # rank m%b — both static index arrays
-        top_toks = jax.lax.top_k(par_logits, b)[1].astype(jnp.int32)
-        ranks = topo["ranks"][new_idx]  # (n_par*b,) static sibling ranks
-        greedy = top_toks[:, np.repeat(np.arange(n_par), b), ranks]
-        chosen = jnp.where((temps > 0)[:, None], sampled, greedy)
-        toks = toks.at[:, new_idx].set(chosen)
-
-    # --- draft K/V capture (full tree, all tokens now filled) ---------------
-    _, dks, dvs = tree_forward(
-        dparams, toks, pos, tables, dpool, dcfg,
-        topo["depths"], topo["anc"], False,
+    # --- draft expansion + K/V capture ---------------------------------------
+    toks, q_all, dks, dvs = _tree_draft_propose(
+        dparams, cur, pos, tables, dpool, dcfg, branching, temps,
+        top_k, top_p, kexp,
     )
 
     # --- target verify -------------------------------------------------------
@@ -468,16 +521,31 @@ class TreeSpeculativePagedEngine(SpeculativePagedEngine):
     engine's K-token lookahead."""
 
     def __init__(self, params, config, *, tree: Tuple[int, ...] = (4, 2, 2),
-                 **kwargs):
-        if kwargs.get("pp_mesh") is not None:
-            raise NotImplementedError(
-                "tree speculation does not compose with pp_mesh yet — use "
-                "chain speculation (SpeculativePagedEngine) over pp"
-            )
+                 pp_microbatches: int = 1, **kwargs):
         tree = tuple(int(b) for b in tree)
-        super().__init__(params, config, draft_k=len(tree), **kwargs)
+        super().__init__(
+            params, config, draft_k=len(tree),
+            pp_microbatches=pp_microbatches, **kwargs
+        )
         self.tree = tree
         self._topo = tree_topology(tree)
+        self._pp_tree_round = None
+        if self._pp_mesh is not None:
+            from lit_llama_ja_tpu.parallel.pp_decode import make_pp_commit
+            from lit_llama_ja_tpu.parallel.pp_spec import make_pp_tree_round
+
+            if self._pp_commit is None:
+                # the tree round's target side is two-dispatch by construction
+                # (tree nodes cannot be cache-written), regardless of pp_split
+                self._pp_commit = make_pp_commit(self._pp_mesh, self.pool)
+
+            # self.params/self.pool are already pp-sharded by PagedEngine's
+            # init; the maker only uses them for spec construction
+            self._pp_tree_round = make_pp_tree_round(
+                config, self.dcfg, self._pp_mesh, self.params, self.pool,
+                branching=tree, n_micro=pp_microbatches,
+                quantized=self.quantized,
+            )
 
     def step(self) -> List[Tuple[int, int, bool]]:
         from lit_llama_ja_tpu.infer.generate import bucket_length
@@ -504,24 +572,40 @@ class TreeSpeculativePagedEngine(SpeculativePagedEngine):
         )
         ap = min(bucket_length(max_pages, minimum=1), self.maxP)
         self.key, sub = jax.random.split(self.key)
-        tokens, n_out, tcommit, self.dpool = _tree_spec_round(
-            self.params,
-            self.dparams,
-            jnp.asarray(self.cur),
-            jnp.asarray(self.pos),
-            self.pool,
-            self.dpool,
-            jnp.asarray(self.tables[:, :ap]),
-            sub,
-            jnp.asarray(self.temps),
-            self.config,
-            self.dcfg,
-            self.tree,
-            self.quantized,
-            self.top_k,
-            self.top_p,
-        )
-        self.pool = commit_writes_jit(self.pool, *tcommit)
+        if self._pp_tree_round is not None:
+            tokens, n_out, tcommit, self.dpool = self._pp_tree_round(
+                self.params,
+                self.dparams,
+                jnp.asarray(self.cur),
+                jnp.asarray(self.pos),
+                jnp.asarray(self.tables[:, :ap]),
+                self.pool,
+                self.dpool,
+                sub,
+                jnp.asarray(self.temps),
+                self.top_k,
+                self.top_p,
+            )
+            self.pool = self._pp_commit(self.pool, *tcommit)
+        else:
+            tokens, n_out, tcommit, self.dpool = _tree_spec_round(
+                self.params,
+                self.dparams,
+                jnp.asarray(self.cur),
+                jnp.asarray(self.pos),
+                self.pool,
+                self.dpool,
+                jnp.asarray(self.tables[:, :ap]),
+                sub,
+                jnp.asarray(self.temps),
+                self.config,
+                self.dcfg,
+                self.tree,
+                self.quantized,
+                self.top_k,
+                self.top_p,
+            )
+            self.pool = commit_writes_jit(self.pool, *tcommit)
         tokens = np.asarray(tokens)
         n_out = np.asarray(n_out)
         round_drafted = round_accepted = 0

@@ -43,6 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lit_llama_ja_tpu.core.config import LLaMAConfig
 from lit_llama_ja_tpu.infer.paged import (
     PagePool,
+    commit_writes,
     paged_block_chain,
     sample_next_token,
 )
@@ -144,6 +145,204 @@ def make_pp_decode_step(
         return sample_next_token(logits, key, temps, top_k, top_p), pool
 
     return step
+
+
+def make_pp_commit(mesh: Mesh, pool: PagePool, axis: str = "pp"):
+    """Write-only pipeline commit: each stage scatters its local layer shard
+    of ``writes`` into its local pool shard. The pool is donated and never
+    read, so XLA updates it in place — the same two-dispatch rationale as the
+    single-mesh `commit_writes_jit` (a fused read+write program pays full pool
+    copies; see infer/paged.py). ``writes`` leaves are ``(L, B, T, ...)`` with
+    the layer axis sharded over ``axis`` (as produced by the read programs
+    below). Returns ``commit(pool, writes, page_idx, offs) -> pool``."""
+    poolspecs = pp_pool_specs(pool, axis)
+    wspecs = jax.tree.map(lambda _: P(axis), pool)  # same dict keys as writes
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(poolspecs, wspecs, P(), P()),
+        out_specs=poolspecs,
+        check_vma=False,
+    )
+    def inner(pool, writes, page_idx, offs):
+        return commit_writes(pool, writes, page_idx, offs)
+
+    return jax.jit(inner, donate_argnums=(0,))
+
+
+def make_pp_decode_read(
+    config: LLaMAConfig,
+    mesh: Mesh,
+    params,
+    pool: PagePool,
+    *,
+    n_micro: int = 1,
+    quantized=False,
+    axis: str = "pp",
+):
+    """Read half of the two-dispatch pipeline decode: same GPipe wavefront as
+    `make_pp_decode_step`, but the pool stays a read-only loop-invariant — the
+    span's K/V comes back as ``writes`` (layer axis pp-sharded) for a separate
+    `make_pp_commit` dispatch. Within one engine step every slot is decoded
+    exactly once, so no microgroup ever needs another's same-step writes (they
+    are different slots → different pages), and the deferred `paged_block_chain`
+    path already attends to the span's own tokens through explicit fresh
+    columns — the split is bitwise-exact vs the fused step.
+
+    Returns ``read(params, toks (B,), pos (B,), tables (B, AP), pool, key,
+    temps, top_k, top_p) -> (next_tokens (B,), writes, page_idx (B, 1),
+    offs (B, 1))``.
+    """
+    S = int(mesh.shape[axis])
+    M = n_micro
+    L = config.n_layer
+    assert L % S == 0, f"n_layer={L} not divisible by pp={S}"
+    pspecs = pp_param_specs(params)
+    poolspecs = pp_pool_specs(pool, axis)
+    wspecs = jax.tree.map(lambda _: P(axis), pool)
+    page = jax.tree.leaves(pool)[0].shape[3]
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, P(), P(), P(), poolspecs),
+        out_specs=(P(), wspecs),
+        check_vma=False,
+    )
+    def inner(params, toks, pos, tables, pool):
+        s = jax.lax.axis_index(axis)
+        B = toks.shape[0]
+        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
+        mbs = B // M
+        emb_all = params["wte"]["weight"][toks][:, None, :]  # (B, 1, D)
+        buf = jnp.zeros((mbs, 1, emb_all.shape[-1]), emb_all.dtype)
+        parts = []
+        bufs = None  # per-pool-key (L_local, B, 1, ...) write buffers
+        for t in range(M + S - 1):
+            m = t - s
+            active = (m >= 0) & (m < M)
+            start = jnp.clip(m, 0, M - 1) * mbs
+            tok_emb = jax.lax.dynamic_slice_in_dim(emb_all, start, mbs, 0)
+            pos_m = jax.lax.dynamic_slice_in_dim(pos, start, mbs, 0)
+            tab_m = jax.lax.dynamic_slice_in_dim(tables, start, mbs, 0)
+            pos_m = jnp.where(active, pos_m, 0)
+            tab_m = jnp.where(active, tab_m, 0)
+            x_in = jnp.where(s == 0, tok_emb, buf)
+            h, w_t, _, _ = paged_block_chain(
+                params["blocks"], pool, x_in, pos_m[:, None], tab_m,
+                config, quantized, defer_commit=True,
+            )
+            if bufs is None:
+                bufs = jax.tree.map(
+                    lambda w: jnp.zeros(
+                        (w.shape[0], B) + w.shape[2:], w.dtype
+                    ),
+                    w_t,
+                )
+
+            def place(b, w):
+                # each stage sees each microgroup exactly once (active); the
+                # clipped start on inactive ticks must not clobber real
+                # writes, so inactive ticks keep the existing buffer slice
+                cur = jax.lax.dynamic_slice_in_dim(b, start, mbs, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    b, jnp.where(active, w, cur), start, axis=1
+                )
+
+            bufs = jax.tree.map(place, bufs, w_t)
+            if t >= S - 1:
+                y = rmsnorm(h[:, 0], params["ln_f"]["scale"], config.norm_eps)
+                parts.append(apply_linear(params["lm_head"], y))
+            if S > 1:
+                buf = jax.lax.ppermute(h, axis, perm)
+        logits = jnp.concatenate(parts, axis=0)  # (B, V)
+        logits = jnp.where(s == S - 1, logits, 0)
+        return jax.lax.psum(logits, axis), bufs
+
+    @partial(jax.jit, static_argnames=("top_k", "top_p"))
+    def read(
+        params,
+        toks: jax.Array,  # (B,)
+        pos: jax.Array,  # (B,)
+        tables: jax.Array,  # (B, AP)
+        pool: PagePool,
+        key: jax.Array,
+        temps: jax.Array,  # (B,)
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+    ):
+        logits, writes = inner(params, toks, pos, tables, pool)
+        pos2 = pos[:, None]
+        page_idx = jnp.take_along_axis(tables, pos2 // page, axis=1)
+        return (
+            sample_next_token(logits, key, temps, top_k, top_p),
+            writes,
+            page_idx,
+            pos2 % page,
+        )
+
+    return read
+
+
+def make_pp_prefill_read(
+    config: LLaMAConfig,
+    mesh: Mesh,
+    params,
+    pool: PagePool,
+    *,
+    quantized=False,
+    axis: str = "pp",
+):
+    """Read half of the two-dispatch pipeline prefill (cf. `make_pp_prefill`):
+    the pool is never written — stage ``s``'s real chain runs at tick ``t==s``
+    and only that tick's K/V is kept, so no garbage off-tick writes exist to
+    overwrite (the fused program relied on last-write-wins for those). Returns
+    ``prefill(params, toks (1, T), pos (1, T), tables (1, AP), pool) ->
+    (logits (1, T, V), writes, page_idx (1, T), offs (1, T))``."""
+    S = int(mesh.shape[axis])
+    pspecs = pp_param_specs(params)
+    poolspecs = pp_pool_specs(pool, axis)
+    wspecs = jax.tree.map(lambda _: P(axis), pool)
+    page = jax.tree.leaves(pool)[0].shape[3]
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, P(), P(), P(), poolspecs),
+        out_specs=(P(), wspecs),
+        check_vma=False,
+    )
+    def inner(params, toks, pos, tables, pool):
+        s = jax.lax.axis_index(axis)
+        x = params["wte"]["weight"][toks]  # (1, T, D)
+        bufs = None
+        for t in range(S):
+            h, w_t, _, _ = paged_block_chain(
+                params["blocks"], pool, x, pos, tables, config, quantized,
+                defer_commit=True,
+            )
+            # keep the writes from this stage's real tick only
+            bufs = w_t if bufs is None else jax.tree.map(
+                lambda b, w: jnp.where(s == t, w, b), bufs, w_t
+            )
+            if S > 1:
+                h_next = jax.lax.ppermute(h, axis, perm)
+                x = jnp.where(s == t + 1, h_next, x)
+        y = rmsnorm(h, params["ln_f"]["scale"], config.norm_eps)
+        logits = apply_linear(params["lm_head"], y)
+        logits = jnp.where(s == S - 1, logits, 0)
+        return jax.lax.psum(logits, axis), bufs
+
+    @jax.jit
+    def prefill(params, toks, pos, tables, pool):
+        logits, writes = inner(params, toks, pos, tables, pool)
+        page_idx = jnp.take_along_axis(tables, pos // page, axis=1)
+        return logits, writes, page_idx, pos % page
+
+    return prefill
 
 
 def make_pp_prefill(

@@ -19,8 +19,11 @@ from lit_llama_ja_tpu.models.llama import init_params
 from lit_llama_ja_tpu.parallel.mesh import make_mesh
 from lit_llama_ja_tpu.parallel.pipeline import shard_params_pp
 from lit_llama_ja_tpu.parallel.pp_decode import (
+    make_pp_commit,
+    make_pp_decode_read,
     make_pp_decode_step,
     make_pp_prefill,
+    make_pp_prefill_read,
     shard_pool_pp,
 )
 
@@ -205,6 +208,105 @@ def test_paged_engine_pp_chunked_prefill(params, rng):
     got = PagedEngine(params, CFG, pp_mesh=mesh, pp_microbatches=2, **kw).run(
         [(prompt, 6)]
     )
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+@pytest.mark.parametrize("pp,n_micro", [(2, 1), (2, 2), (4, 2)])
+def test_pp_split_decode_matches_fused(params, rng, pp, n_micro):
+    """Two-dispatch pp decode (read + write-only commit) must be bitwise
+    identical to the fused pp step: same sampled tokens, same pool contents
+    (real pages; the fused step's idle ticks scribble on trash page 0, the
+    split never commits them — by design)."""
+    pool, tables, pos, cur, _ = _prefill_two_slots(params, rng)
+    key = jax.random.PRNGKey(7)
+    temps = jnp.zeros(2, jnp.float32)
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, pp=pp, devices=jax.devices()[:pp])
+    sparams = shard_params_pp(params, mesh)
+
+    fused = make_pp_decode_step(CFG, mesh, params, pool, n_micro=n_micro)
+    want_tok, want_pool = fused(
+        sparams, jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(tables),
+        shard_pool_pp(jax.tree.map(jnp.copy, pool), mesh), key, temps,
+    )
+
+    read = make_pp_decode_read(CFG, mesh, params, pool, n_micro=n_micro)
+    commit = make_pp_commit(mesh, pool)
+    got_tok, writes, pi, of = read(
+        sparams, jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(tables),
+        shard_pool_pp(pool, mesh), key, temps,
+    )
+    got_pool = commit(shard_pool_pp(pool, mesh), writes, pi, of)
+
+    np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(want_tok))
+    for k in want_pool:
+        np.testing.assert_array_equal(
+            np.asarray(got_pool[k])[:, 1:], np.asarray(want_pool[k])[:, 1:]
+        )
+
+
+def test_pp_split_prefill_matches_paged_forward(params, rng):
+    prompt = rng.integers(0, 96, size=(7,)).astype(np.int32)
+    tables = np.zeros((1, 4), np.int32)
+    tables[0, :2] = [1, 2]
+    posv = np.arange(7, dtype=np.int32)[None]
+
+    pool0 = init_page_pool(CFG, NPAGES, PAGE, jnp.bfloat16, False)
+    want_lg, want_pool = paged_forward(
+        params, jnp.asarray(prompt[None]), jnp.asarray(posv),
+        jnp.asarray(tables), jax.tree.map(jnp.copy, pool0), CFG, False,
+    )
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, pp=2, devices=jax.devices()[:2])
+    sparams = shard_params_pp(params, mesh)
+    prefill = make_pp_prefill_read(CFG, mesh, params, pool0)
+    commit = make_pp_commit(mesh, pool0)
+    got_lg, writes, pi, of = prefill(
+        sparams, jnp.asarray(prompt[None]), jnp.asarray(posv),
+        jnp.asarray(tables), shard_pool_pp(pool0, mesh),
+    )
+    got_pool = commit(shard_pool_pp(pool0, mesh), writes, pi, of)
+    np.testing.assert_allclose(
+        np.asarray(got_lg), np.asarray(want_lg), rtol=2e-4, atol=2e-4
+    )
+    for k in want_pool:
+        np.testing.assert_array_equal(
+            np.asarray(got_pool[k])[:, 1:], np.asarray(want_pool[k])[:, 1:]
+        )
+
+
+@pytest.mark.parametrize("quantized", [False, "int8"])
+def test_paged_engine_pp_split_matches_single_mesh(params, rng, quantized):
+    """Full engine parity for the default (split) pp path, fp and int8 KV."""
+    from lit_llama_ja_tpu.infer.paged import PagedEngine
+
+    prompts = [
+        rng.integers(0, 96, size=(n,)).astype(np.int32) for n in (5, 11, 3, 8)
+    ]
+    reqs = [(p, 10) for p in prompts]
+    qkv = quantized == "int8"
+    kw = dict(max_batch=4, n_pages=NPAGES, page_size=PAGE, quantize_kv=qkv)
+    want = PagedEngine(params, CFG, **kw).run(reqs)
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, pp=2, devices=jax.devices()[:2])
+    got = PagedEngine(
+        params, CFG, pp_mesh=mesh, pp_microbatches=2, pp_split=True, **kw
+    ).run(reqs)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_paged_engine_pp_split_chunked_prefill_and_prefix(params, rng):
+    """Split pp engine composes with chunked prefill + shared prefix pages."""
+    from lit_llama_ja_tpu.infer.paged import PagedEngine
+
+    prefix = rng.integers(0, 96, size=(9,)).astype(np.int32)
+    prompt = rng.integers(0, 96, size=(17,)).astype(np.int32)
+    kw = dict(max_batch=2, n_pages=NPAGES, page_size=PAGE, prefill_chunk=8)
+
+    ref = PagedEngine(params, CFG, **kw)
+    want = ref.run([(prompt, 6)], prefix_id=ref.register_prefix(prefix))
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, pp=2, devices=jax.devices()[:2])
+    eng = PagedEngine(params, CFG, pp_mesh=mesh, pp_microbatches=2, **kw)
+    got = eng.run([(prompt, 6)], prefix_id=eng.register_prefix(prefix))
     np.testing.assert_array_equal(got[0], want[0])
 
 

@@ -86,3 +86,58 @@ def test_pp_spec_sampling_smoke(target, draft, rng):
     )
     assert len(out[0]) == len(prompt) + 10
     assert (out[0] >= 0).all() and (out[0] < 64).all()
+
+
+# --------------------------------------------------------------------------
+# tree speculation over pp (parallel/pp_spec.make_pp_tree_round)
+# --------------------------------------------------------------------------
+def _pp_tree(target, draft, pp=2, **kw):
+    from lit_llama_ja_tpu.infer.tree_spec import TreeSpeculativePagedEngine
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, pp=pp, devices=jax.devices()[:pp])
+    kw = {**KW, **kw}
+    kw.setdefault("pp_microbatches", 2)
+    return TreeSpeculativePagedEngine(
+        target, TCFG, draft_params=draft, draft_config=DCFG,
+        pp_mesh=mesh, **kw,
+    )
+
+
+@pytest.mark.parametrize("pp,tree", [(2, (2, 2)), (4, (3, 1))])
+def test_pp_tree_matches_single_mesh(target, draft, rng, pp, tree):
+    from lit_llama_ja_tpu.infer.tree_spec import TreeSpeculativePagedEngine
+
+    prompts = [
+        rng.integers(0, 64, size=(n,)).astype(np.int32) for n in (5, 9, 3)
+    ]
+    reqs = [(p, 12) for p in prompts]
+    want = TreeSpeculativePagedEngine(
+        target, TCFG, draft_params=draft, draft_config=DCFG, tree=tree, **KW
+    ).run(reqs)
+    got = _pp_tree(target, draft, pp=pp, tree=tree).run(reqs)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_pp_tree_greedy_matches_plain(target, draft, rng):
+    prompt = rng.integers(0, 64, size=(6,)).astype(np.int32)
+    want = PagedEngine(target, TCFG, **KW).run([(prompt, 14)])
+    got = _pp_tree(target, draft, tree=(2, 2, 2)).run([(prompt, 14)])
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_pp_tree_quantized_kv(target, draft, rng):
+    prompt = rng.integers(0, 64, size=(7,)).astype(np.int32)
+    want = PagedEngine(target, TCFG, quantize_kv=True, **KW).run([(prompt, 10)])
+    got = _pp_tree(target, draft, tree=(2, 2), quantize_kv=True).run(
+        [(prompt, 10)]
+    )
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_pp_tree_sampling_smoke(target, draft, rng):
+    prompt = rng.integers(0, 64, size=(5,)).astype(np.int32)
+    eng = _pp_tree(target, draft, tree=(2, 2))
+    out = eng.run([(prompt, 8)], temperature=0.8, top_k=20)
+    assert len(out[0]) >= len(prompt) + 1
+    assert (out[0] >= 0).all() and (out[0] < 64).all()
