@@ -530,14 +530,22 @@ class TreeSpeculativePagedEngine(SpeculativePagedEngine):
         self.tree = tree
         self._topo = tree_topology(tree)
         self._pp_tree_round = None
+        self._pp_tree_commit = None
         if self._pp_mesh is not None:
             from lit_llama_ja_tpu.parallel.pp_decode import make_pp_commit
             from lit_llama_ja_tpu.parallel.pp_spec import make_pp_tree_round
 
-            if self._pp_commit is None:
-                # the tree round's target side is two-dispatch by construction
-                # (tree nodes cannot be cache-written), regardless of pp_split
-                self._pp_commit = make_pp_commit(self._pp_mesh, self.pool)
+            # The tree round's target side is two-dispatch by construction
+            # (tree nodes cannot be cache-written), regardless of pp_split.
+            # Kept in a SEPARATE attribute: overloading self._pp_commit would
+            # flip PagedEngine._prefill_span into the 4-tuple two-dispatch
+            # unpack while pp_split=False leaves _pp_prefill as the fused
+            # 2-tuple program.
+            self._pp_tree_commit = (
+                self._pp_commit
+                if self._pp_commit is not None
+                else make_pp_commit(self._pp_mesh, self.pool)
+            )
 
             # self.params/self.pool are already pp-sharded by PagedEngine's
             # init; the maker only uses them for spec construction
@@ -586,7 +594,7 @@ class TreeSpeculativePagedEngine(SpeculativePagedEngine):
                 self.top_k,
                 self.top_p,
             )
-            self.pool = self._pp_commit(self.pool, *tcommit)
+            self.pool = self._pp_tree_commit(self.pool, *tcommit)
         else:
             tokens, n_out, tcommit, self.dpool = _tree_spec_round(
                 self.params,

@@ -7,7 +7,7 @@ adds the inference side: the paged serving engine's decode step executed with
 the transformer layers (and their slice of the page pool) sharded over a
 ``'pp'`` mesh axis. Use case: models whose weights exceed one host's HBM even
 int4-quantized, where 'tp' over ICI runs out of devices — pp spans hosts with
-one activation hop per stage boundary (DCN-friendly: (mbs, 1, D) bytes per
+one activation hop per stage boundary (DCN-friendly: (mbs, T, D) bytes per
 tick, vs tp's per-layer all-reduces).
 
 Schedule: the B engine slots are split into M microgroups; at tick ``t`` stage
@@ -16,6 +16,15 @@ ticks per engine step). Stage 0 embeds, every stage runs its local
 `paged_block_chain` (`infer/paged.py` — the SAME code the single-mesh engine
 runs; the leading layer axis of blocks/pool is simply the local shard), the
 last stage projects logits. Steady-state stage utilization is M/(M+S−1).
+
+ONE wavefront, many programs: `make_pp_span_forward` is the single
+implementation of the microgroup schedule (slicing, active masking, ppermute,
+logits concat/psum, deferred-write placement). Decode (T=1), speculative
+verify (T=K+1, `parallel/pp_spec.make_pp_verify`) and tree verify (T=NT with
+a tree-attention chain, `make_pp_tree_verify`) are thin parameterizations —
+`T`, `defer_commit`, and the per-tick ``chain`` callable. A schedule fix lands
+once. Prefill (a single (1, T) span — M=1 cannot wavefront) keeps its own
+S-tick loop, shared between the fused and two-dispatch variants.
 
 Idle-tick hygiene: a stage with no microgroup in range still executes the
 chain (SPMD — everyone runs the same program); its writes are pointed at the
@@ -33,7 +42,7 @@ chunked prefill work unchanged on top of this step.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +72,130 @@ def shard_pool_pp(pool: PagePool, mesh: Mesh, axis: str = "pp") -> PagePool:
     )
 
 
+def make_pp_span_forward(
+    config: LLaMAConfig,
+    mesh: Mesh,
+    params,
+    pool: PagePool,
+    *,
+    T: int,
+    n_micro: int = 1,
+    quantized=False,
+    axis: str = "pp",
+    defer_commit: bool = False,
+    chain: Optional[Callable] = None,
+    write_proto=None,
+):
+    """THE GPipe microgroup wavefront (see module docstring). Returns the
+    un-jitted shard_map program ``inner(params, toks, pos, tables, pool)``:
+
+    * ``toks`` is ``(B, T)``; ``pos``/``tables`` are sliced along axis 0 per
+      microgroup and handed to ``chain`` as-is otherwise (so per-token
+      ``(B, T)`` positions and per-slot ``(B,)`` base positions both work).
+    * fused (``defer_commit=False``): each tick's chain threads the pool;
+      returns ``(logits (B, T, V), pool)``.
+    * two-dispatch (``defer_commit=True``): the pool stays a read-only
+      loop-invariant; each tick's fresh K/V is placed into per-microgroup
+      write buffers (leaves ``(L_local, B, T, ...)``, pp-sharded) for a
+      separate `make_pp_commit`; returns ``(logits, writes)``. Rationale at
+      `infer/paged.commit_writes_jit` (donated read+write programs pay full
+      pool copies).
+
+    ``chain(blocks, pool, x (mbs, T, D), pos_m, tab_m)`` runs one stage's
+    local layer shard: → ``(h, pool)`` fused, ``(h, writes_pytree)`` deferred.
+    Defaults to `paged_block_chain`. ``write_proto`` fixes the deferred
+    writes' pytree STRUCTURE for shard_map out_specs (defaults to the pool's).
+    """
+    S = int(mesh.shape[axis])
+    M = n_micro
+    L = config.n_layer
+    assert L % S == 0, f"n_layer={L} not divisible by pp={S}"
+    pspecs = pp_param_specs(params)
+    poolspecs = pp_pool_specs(pool, axis)
+    if chain is None:
+        if defer_commit:
+
+            def chain(blocks, pool, x, pos_m, tab_m):
+                h, w, _, _ = paged_block_chain(
+                    blocks, pool, x, pos_m, tab_m, config, quantized,
+                    defer_commit=True,
+                )
+                return h, w
+
+        else:
+
+            def chain(blocks, pool, x, pos_m, tab_m):
+                return paged_block_chain(
+                    blocks, pool, x, pos_m, tab_m, config, quantized
+                )
+
+    proto = pool if write_proto is None else write_proto
+    wspecs = jax.tree.map(lambda _: P(axis), proto)
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, P(), P(), P(), poolspecs),
+        out_specs=(P(), wspecs if defer_commit else poolspecs),
+        check_vma=False,
+    )
+    def inner(params, toks, pos, tables, pool):
+        s = jax.lax.axis_index(axis)
+        B = toks.shape[0]
+        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
+        mbs = B // M
+        emb_all = params["wte"]["weight"][toks]  # (B, T, D)
+        buf = jnp.zeros((mbs, T, emb_all.shape[-1]), emb_all.dtype)
+        parts = []
+        bufs = None  # deferred mode: per-pool-key (L_local, B, T, ...) buffers
+        for t in range(M + S - 1):
+            m = t - s  # this stage's microgroup at this tick (traced)
+            active = (m >= 0) & (m < M)
+            start = jnp.clip(m, 0, M - 1) * mbs
+            emb = jax.lax.dynamic_slice_in_dim(emb_all, start, mbs, 0)
+            pos_m = jax.lax.dynamic_slice_in_dim(pos, start, mbs, 0)
+            tab_m = jax.lax.dynamic_slice_in_dim(tables, start, mbs, 0)
+            # idle ticks write to the trash page at position 0
+            pos_m = jnp.where(active, pos_m, 0)
+            tab_m = jnp.where(active, tab_m, 0)
+            x_in = jnp.where(s == 0, emb, buf)
+            if defer_commit:
+                h, w_t = chain(params["blocks"], pool, x_in, pos_m, tab_m)
+                if bufs is None:
+                    bufs = jax.tree.map(
+                        lambda w: jnp.zeros(
+                            (w.shape[0], B) + w.shape[2:], w.dtype
+                        ),
+                        w_t,
+                    )
+
+                def place(b, w):
+                    # each stage sees each microgroup exactly once (active);
+                    # the clipped start on inactive ticks must not clobber
+                    # real writes, so inactive ticks keep the existing slice
+                    cur = jax.lax.dynamic_slice_in_dim(b, start, mbs, axis=1)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        b, jnp.where(active, w, cur), start, axis=1
+                    )
+
+                bufs = jax.tree.map(place, bufs, w_t)
+            else:
+                h, pool = chain(params["blocks"], pool, x_in, pos_m, tab_m)
+            if t >= S - 1:
+                # on the last stage this is microgroup t-(S-1); garbage on
+                # other stages (masked below)
+                y = rmsnorm(h, params["ln_f"]["scale"], config.norm_eps)
+                parts.append(apply_linear(params["lm_head"], y))  # (mbs,T,V)
+            if S > 1:
+                buf = jax.lax.ppermute(h, axis, perm)
+        logits = jnp.concatenate(parts, axis=0)  # (B, T, V)
+        logits = jnp.where(s == S - 1, logits, 0)
+        return jax.lax.psum(logits, axis), bufs if defer_commit else pool
+
+    return inner
+
+
 def make_pp_decode_step(
     config: LLaMAConfig,
     mesh: Mesh,
@@ -73,61 +206,17 @@ def make_pp_decode_step(
     quantized=False,
     axis: str = "pp",
 ):
-    """Build the jitted pipeline decode program.
+    """Build the jitted FUSED pipeline decode program (T=1 wavefront).
 
     ``params``/``pool`` are used for spec construction only (any placement).
     Returns ``step(params, toks (B,), pos (B,), tables (B, AP), pool, key,
     temps, top_k, top_p) -> (next_tokens (B,), pool)`` — same contract as the
     single-mesh `_paged_decode_and_sample`, with ``B % n_micro == 0``.
     """
-    S = int(mesh.shape[axis])
-    M = n_micro
-    L = config.n_layer
-    assert L % S == 0, f"n_layer={L} not divisible by pp={S}"
-    pspecs = pp_param_specs(params)
-    poolspecs = pp_pool_specs(pool, axis)
-    perm = [(i, i + 1) for i in range(S - 1)]
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(pspecs, P(), P(), P(), poolspecs),
-        out_specs=(P(), poolspecs),
-        check_vma=False,
+    inner = make_pp_span_forward(
+        config, mesh, params, pool, T=1, n_micro=n_micro,
+        quantized=quantized, axis=axis, defer_commit=False,
     )
-    def inner(params, toks, pos, tables, pool):
-        s = jax.lax.axis_index(axis)
-        B = toks.shape[0]
-        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
-        mbs = B // M
-        emb_all = params["wte"]["weight"][toks][:, None, :]  # (B, 1, D)
-        buf = jnp.zeros((mbs, 1, emb_all.shape[-1]), emb_all.dtype)
-        parts = []
-        for t in range(M + S - 1):
-            m = t - s  # this stage's microgroup at this tick (traced)
-            active = (m >= 0) & (m < M)
-            start = jnp.clip(m, 0, M - 1) * mbs
-            tok_emb = jax.lax.dynamic_slice_in_dim(emb_all, start, mbs, 0)
-            pos_m = jax.lax.dynamic_slice_in_dim(pos, start, mbs, 0)
-            tab_m = jax.lax.dynamic_slice_in_dim(tables, start, mbs, 0)
-            # idle ticks write to the trash page at position 0
-            pos_m = jnp.where(active, pos_m, 0)
-            tab_m = jnp.where(active, tab_m, 0)
-            x_in = jnp.where(s == 0, tok_emb, buf)
-            h, pool = paged_block_chain(
-                params["blocks"], pool, x_in, pos_m[:, None], tab_m,
-                config, quantized,
-            )
-            if t >= S - 1:
-                # on the last stage this is microgroup t-(S-1); garbage on
-                # other stages (masked below)
-                y = rmsnorm(h[:, 0], params["ln_f"]["scale"], config.norm_eps)
-                parts.append(apply_linear(params["lm_head"], y))
-            if S > 1:
-                buf = jax.lax.ppermute(h, axis, perm)
-        logits = jnp.concatenate(parts, axis=0)  # (B, V)
-        logits = jnp.where(s == S - 1, logits, 0)
-        return jax.lax.psum(logits, axis), pool
 
     @partial(jax.jit, static_argnames=("top_k", "top_p"), donate_argnums=(4,))
     def step(
@@ -141,8 +230,11 @@ def make_pp_decode_step(
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
     ) -> Tuple[jax.Array, PagePool]:
-        logits, pool = inner(params, toks, pos, tables, pool)
-        return sample_next_token(logits, key, temps, top_k, top_p), pool
+        logits, pool = inner(
+            params, toks[:, None], pos[:, None], tables, pool
+        )
+        next_tok = sample_next_token(logits[:, 0], key, temps, top_k, top_p)
+        return next_tok, pool
 
     return step
 
@@ -154,7 +246,7 @@ def make_pp_commit(mesh: Mesh, pool: PagePool, axis: str = "pp"):
     single-mesh `commit_writes_jit` (a fused read+write program pays full pool
     copies; see infer/paged.py). ``writes`` leaves are ``(L, B, T, ...)`` with
     the layer axis sharded over ``axis`` (as produced by the read programs
-    below). Returns ``commit(pool, writes, page_idx, offs) -> pool``."""
+    above). Returns ``commit(pool, writes, page_idx, offs) -> pool``."""
     poolspecs = pp_pool_specs(pool, axis)
     wspecs = jax.tree.map(lambda _: P(axis), pool)  # same dict keys as writes
 
@@ -181,85 +273,24 @@ def make_pp_decode_read(
     quantized=False,
     axis: str = "pp",
 ):
-    """Read half of the two-dispatch pipeline decode: same GPipe wavefront as
-    `make_pp_decode_step`, but the pool stays a read-only loop-invariant — the
-    span's K/V comes back as ``writes`` (layer axis pp-sharded) for a separate
-    `make_pp_commit` dispatch. Within one engine step every slot is decoded
-    exactly once, so no microgroup ever needs another's same-step writes (they
-    are different slots → different pages), and the deferred `paged_block_chain`
-    path already attends to the span's own tokens through explicit fresh
-    columns — the split is bitwise-exact vs the fused step.
+    """Read half of the two-dispatch pipeline decode: the T=1 wavefront with
+    the pool a read-only loop-invariant — the span's K/V comes back as
+    ``writes`` (layer axis pp-sharded) for a separate `make_pp_commit`
+    dispatch. Within one engine step every slot is decoded exactly once, so no
+    microgroup ever needs another's same-step writes (they are different slots
+    → different pages), and the deferred `paged_block_chain` path already
+    attends to the span's own tokens through explicit fresh columns — the
+    split is bitwise-exact vs the fused step.
 
     Returns ``read(params, toks (B,), pos (B,), tables (B, AP), pool, key,
     temps, top_k, top_p) -> (next_tokens (B,), writes, page_idx (B, 1),
     offs (B, 1))``.
     """
-    S = int(mesh.shape[axis])
-    M = n_micro
-    L = config.n_layer
-    assert L % S == 0, f"n_layer={L} not divisible by pp={S}"
-    pspecs = pp_param_specs(params)
-    poolspecs = pp_pool_specs(pool, axis)
-    wspecs = jax.tree.map(lambda _: P(axis), pool)
-    page = jax.tree.leaves(pool)[0].shape[3]
-    perm = [(i, i + 1) for i in range(S - 1)]
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(pspecs, P(), P(), P(), poolspecs),
-        out_specs=(P(), wspecs),
-        check_vma=False,
+    inner = make_pp_span_forward(
+        config, mesh, params, pool, T=1, n_micro=n_micro,
+        quantized=quantized, axis=axis, defer_commit=True,
     )
-    def inner(params, toks, pos, tables, pool):
-        s = jax.lax.axis_index(axis)
-        B = toks.shape[0]
-        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
-        mbs = B // M
-        emb_all = params["wte"]["weight"][toks][:, None, :]  # (B, 1, D)
-        buf = jnp.zeros((mbs, 1, emb_all.shape[-1]), emb_all.dtype)
-        parts = []
-        bufs = None  # per-pool-key (L_local, B, 1, ...) write buffers
-        for t in range(M + S - 1):
-            m = t - s
-            active = (m >= 0) & (m < M)
-            start = jnp.clip(m, 0, M - 1) * mbs
-            tok_emb = jax.lax.dynamic_slice_in_dim(emb_all, start, mbs, 0)
-            pos_m = jax.lax.dynamic_slice_in_dim(pos, start, mbs, 0)
-            tab_m = jax.lax.dynamic_slice_in_dim(tables, start, mbs, 0)
-            pos_m = jnp.where(active, pos_m, 0)
-            tab_m = jnp.where(active, tab_m, 0)
-            x_in = jnp.where(s == 0, tok_emb, buf)
-            h, w_t, _, _ = paged_block_chain(
-                params["blocks"], pool, x_in, pos_m[:, None], tab_m,
-                config, quantized, defer_commit=True,
-            )
-            if bufs is None:
-                bufs = jax.tree.map(
-                    lambda w: jnp.zeros(
-                        (w.shape[0], B) + w.shape[2:], w.dtype
-                    ),
-                    w_t,
-                )
-
-            def place(b, w):
-                # each stage sees each microgroup exactly once (active); the
-                # clipped start on inactive ticks must not clobber real
-                # writes, so inactive ticks keep the existing buffer slice
-                cur = jax.lax.dynamic_slice_in_dim(b, start, mbs, axis=1)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    b, jnp.where(active, w, cur), start, axis=1
-                )
-
-            bufs = jax.tree.map(place, bufs, w_t)
-            if t >= S - 1:
-                y = rmsnorm(h[:, 0], params["ln_f"]["scale"], config.norm_eps)
-                parts.append(apply_linear(params["lm_head"], y))
-            if S > 1:
-                buf = jax.lax.ppermute(h, axis, perm)
-        logits = jnp.concatenate(parts, axis=0)  # (B, V)
-        logits = jnp.where(s == S - 1, logits, 0)
-        return jax.lax.psum(logits, axis), bufs
+    page = jax.tree.leaves(pool)[0].shape[3]
 
     @partial(jax.jit, static_argnames=("top_k", "top_p"))
     def read(
@@ -273,11 +304,13 @@ def make_pp_decode_read(
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
     ):
-        logits, writes = inner(params, toks, pos, tables, pool)
+        logits, writes = inner(
+            params, toks[:, None], pos[:, None], tables, pool
+        )
         pos2 = pos[:, None]
         page_idx = jnp.take_along_axis(tables, pos2 // page, axis=1)
         return (
-            sample_next_token(logits, key, temps, top_k, top_p),
+            sample_next_token(logits[:, 0], key, temps, top_k, top_p),
             writes,
             page_idx,
             pos2 % page,
@@ -286,33 +319,36 @@ def make_pp_decode_read(
     return read
 
 
-def make_pp_prefill_read(
+def _make_pp_prefill_inner(
     config: LLaMAConfig,
     mesh: Mesh,
     params,
     pool: PagePool,
     *,
-    quantized=False,
-    axis: str = "pp",
+    quantized,
+    axis: str,
+    defer_commit: bool,
 ):
-    """Read half of the two-dispatch pipeline prefill (cf. `make_pp_prefill`):
-    the pool is never written — stage ``s``'s real chain runs at tick ``t==s``
-    and only that tick's K/V is kept, so no garbage off-tick writes exist to
-    overwrite (the fused program relied on last-write-wins for those). Returns
-    ``prefill(params, toks (1, T), pos (1, T), tables (1, AP), pool) ->
-    (logits (1, T, V), writes, page_idx (1, T), offs (1, T))``."""
+    """Shared S-tick pipeline prefill program: one (1, T) span flows through
+    the stages (M=1 — a single prompt cannot wavefront; chunked prefill
+    interleaves multiple prompts' chunks at the engine level instead).
+
+    Fused: stage ``s`` consumes the previous stage's output on tick ``t==s``;
+    off-tick chains recompute over stale x and their garbage pool writes are
+    overwritten on the real tick (same pages — last-write-wins). Deferred: the
+    pool is never written, so there are no garbage writes to overwrite — only
+    the real tick's (``s == t``) K/V is kept."""
     S = int(mesh.shape[axis])
     pspecs = pp_param_specs(params)
     poolspecs = pp_pool_specs(pool, axis)
     wspecs = jax.tree.map(lambda _: P(axis), pool)
-    page = jax.tree.leaves(pool)[0].shape[3]
     perm = [(i, i + 1) for i in range(S - 1)]
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(pspecs, P(), P(), P(), poolspecs),
-        out_specs=(P(), wspecs),
+        out_specs=(P(), wspecs if defer_commit else poolspecs),
         check_vma=False,
     )
     def inner(params, toks, pos, tables, pool):
@@ -320,29 +356,28 @@ def make_pp_prefill_read(
         x = params["wte"]["weight"][toks]  # (1, T, D)
         bufs = None
         for t in range(S):
-            h, w_t, _, _ = paged_block_chain(
-                params["blocks"], pool, x, pos, tables, config, quantized,
-                defer_commit=True,
-            )
-            # keep the writes from this stage's real tick only
-            bufs = w_t if bufs is None else jax.tree.map(
-                lambda b, w: jnp.where(s == t, w, b), bufs, w_t
-            )
+            if defer_commit:
+                h, w_t, _, _ = paged_block_chain(
+                    params["blocks"], pool, x, pos, tables, config,
+                    quantized, defer_commit=True,
+                )
+                # keep the writes from this stage's real tick only
+                bufs = w_t if bufs is None else jax.tree.map(
+                    lambda b, w: jnp.where(s == t, w, b), bufs, w_t
+                )
+            else:
+                h, pool = paged_block_chain(
+                    params["blocks"], pool, x, pos, tables, config, quantized
+                )
             if S > 1:
                 h_next = jax.lax.ppermute(h, axis, perm)
                 x = jnp.where(s == t + 1, h_next, x)
         y = rmsnorm(h, params["ln_f"]["scale"], config.norm_eps)
         logits = apply_linear(params["lm_head"], y)
         logits = jnp.where(s == S - 1, logits, 0)
-        return jax.lax.psum(logits, axis), bufs
+        return jax.lax.psum(logits, axis), bufs if defer_commit else pool
 
-    @jax.jit
-    def prefill(params, toks, pos, tables, pool):
-        logits, writes = inner(params, toks, pos, tables, pool)
-        page_idx = jnp.take_along_axis(tables, pos // page, axis=1)
-        return logits, writes, page_idx, pos % page
-
-    return prefill
+    return inner
 
 
 def make_pp_prefill(
@@ -354,39 +389,38 @@ def make_pp_prefill(
     quantized=False,
     axis: str = "pp",
 ):
-    """Jitted pipeline prefill: one (1, T) span flows through the stages
-    (M=1 — a single prompt cannot wavefront; chunked prefill interleaves
-    multiple prompts' chunks at the engine level instead). Returns
-    ``prefill(params, toks (1, T), pos (1, T), tables (1, AP), pool) ->
-    (logits (1, T, V), pool)`` — same contract as `paged_forward`."""
-    S = int(mesh.shape[axis])
-    pspecs = pp_param_specs(params)
-    poolspecs = pp_pool_specs(pool, axis)
-    perm = [(i, i + 1) for i in range(S - 1)]
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(pspecs, P(), P(), P(), poolspecs),
-        out_specs=(P(), poolspecs),
-        check_vma=False,
+    """Jitted FUSED pipeline prefill. Returns ``prefill(params, toks (1, T),
+    pos (1, T), tables (1, AP), pool) -> (logits (1, T, V), pool)`` — same
+    contract as `paged_forward`."""
+    inner = _make_pp_prefill_inner(
+        config, mesh, params, pool, quantized=quantized, axis=axis,
+        defer_commit=False,
     )
-    def inner(params, toks, pos, tables, pool):
-        s = jax.lax.axis_index(axis)
-        x = params["wte"]["weight"][toks]  # (1, T, D)
-        for t in range(S):
-            h, pool = paged_block_chain(
-                params["blocks"], pool, x, pos, tables, config, quantized
-            )
-            if S > 1:
-                h_next = jax.lax.ppermute(h, axis, perm)
-                # each stage consumes the previous stage's output on the
-                # matching tick; off-tick chains recompute over stale x (their
-                # pool writes are overwritten on the real tick — same pages)
-                x = jnp.where(s == t + 1, h_next, x)
-        y = rmsnorm(h, params["ln_f"]["scale"], config.norm_eps)
-        logits = apply_linear(params["lm_head"], y)
-        logits = jnp.where(s == S - 1, logits, 0)
-        return jax.lax.psum(logits, axis), pool
-
     return jax.jit(inner, donate_argnums=(4,))
+
+
+def make_pp_prefill_read(
+    config: LLaMAConfig,
+    mesh: Mesh,
+    params,
+    pool: PagePool,
+    *,
+    quantized=False,
+    axis: str = "pp",
+):
+    """Read half of the two-dispatch pipeline prefill. Returns
+    ``prefill(params, toks (1, T), pos (1, T), tables (1, AP), pool) ->
+    (logits (1, T, V), writes, page_idx (1, T), offs (1, T))``."""
+    inner = _make_pp_prefill_inner(
+        config, mesh, params, pool, quantized=quantized, axis=axis,
+        defer_commit=True,
+    )
+    page = jax.tree.leaves(pool)[0].shape[3]
+
+    @jax.jit
+    def prefill(params, toks, pos, tables, pool):
+        logits, writes = inner(params, toks, pos, tables, pool)
+        page_idx = jnp.take_along_axis(tables, pos // page, axis=1)
+        return logits, writes, page_idx, pos % page
+
+    return prefill

@@ -24,20 +24,16 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from lit_llama_ja_tpu.core.config import LLaMAConfig
-from lit_llama_ja_tpu.infer.paged import PagePool, paged_block_chain
+from lit_llama_ja_tpu.infer.paged import PagePool
 from lit_llama_ja_tpu.infer.spec_serving import (
     _accept_chain,
     _dist_batch,
     _draft_propose,
 )
-from lit_llama_ja_tpu.models.llama import apply_linear
-from lit_llama_ja_tpu.ops.norms import rmsnorm
-from lit_llama_ja_tpu.parallel.pipeline import pp_param_specs
-from lit_llama_ja_tpu.parallel.pp_decode import pp_pool_specs
+from lit_llama_ja_tpu.parallel.pp_decode import make_pp_span_forward
 
 
 def make_pp_verify(
@@ -53,7 +49,7 @@ def make_pp_verify(
     defer_commit: bool = False,
 ):
     """Pipeline forward over (B, T) token spans with per-token positions —
-    `make_pp_decode_step`'s wavefront generalized from T=1 to the speculative
+    the shared wavefront (`pp_decode.make_pp_span_forward`) at the speculative
     verify width. Returns ``verify(params, toks (B, T), pos (B, T),
     tables (B, AP), pool) -> (logits (B, T, V), pool)`` (NOT jitted — meant to
     be called inside the round program).
@@ -62,75 +58,10 @@ def make_pp_verify(
     span's K/V comes back as pp-sharded ``writes`` (leaves (L, B, T, ...)) for
     a separate `make_pp_commit` dispatch — ``verify(...) -> (logits, writes)``.
     Two-dispatch rationale at `infer/paged.commit_writes_jit`."""
-    S = int(mesh.shape[axis])
-    M = n_micro
-    assert config.n_layer % S == 0
-    pspecs = pp_param_specs(params)
-    poolspecs = pp_pool_specs(pool, axis)
-    wspecs = jax.tree.map(lambda _: P(axis), pool)
-    perm = [(i, i + 1) for i in range(S - 1)]
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(pspecs, P(), P(), P(), poolspecs),
-        out_specs=(P(), wspecs if defer_commit else poolspecs),
-        check_vma=False,
+    return make_pp_span_forward(
+        config, mesh, params, pool, T=T, n_micro=n_micro,
+        quantized=quantized, axis=axis, defer_commit=defer_commit,
     )
-    def inner(params, toks, pos, tables, pool):
-        s = jax.lax.axis_index(axis)
-        B = toks.shape[0]
-        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
-        mbs = B // M
-        emb_all = params["wte"]["weight"][toks]  # (B, T, D)
-        buf = jnp.zeros((mbs, T, emb_all.shape[-1]), emb_all.dtype)
-        parts = []
-        bufs = None
-        for t in range(M + S - 1):
-            m = t - s
-            active = (m >= 0) & (m < M)
-            start = jnp.clip(m, 0, M - 1) * mbs
-            emb = jax.lax.dynamic_slice_in_dim(emb_all, start, mbs, 0)
-            pos_m = jax.lax.dynamic_slice_in_dim(pos, start, mbs, 0)
-            tab_m = jax.lax.dynamic_slice_in_dim(tables, start, mbs, 0)
-            pos_m = jnp.where(active, pos_m, 0)
-            tab_m = jnp.where(active, tab_m, 0)
-            x_in = jnp.where(s == 0, emb, buf)
-            if defer_commit:
-                h, w_t, _, _ = paged_block_chain(
-                    params["blocks"], pool, x_in, pos_m, tab_m, config,
-                    quantized, defer_commit=True,
-                )
-                if bufs is None:
-                    bufs = jax.tree.map(
-                        lambda w: jnp.zeros(
-                            (w.shape[0], B) + w.shape[2:], w.dtype
-                        ),
-                        w_t,
-                    )
-
-                def place(b, w):
-                    cur = jax.lax.dynamic_slice_in_dim(b, start, mbs, axis=1)
-                    return jax.lax.dynamic_update_slice_in_dim(
-                        b, jnp.where(active, w, cur), start, axis=1
-                    )
-
-                bufs = jax.tree.map(place, bufs, w_t)
-            else:
-                h, pool = paged_block_chain(
-                    params["blocks"], pool, x_in, pos_m, tab_m, config,
-                    quantized,
-                )
-            if t >= S - 1:
-                y = rmsnorm(h, params["ln_f"]["scale"], config.norm_eps)
-                parts.append(apply_linear(params["lm_head"], y))  # (mbs, T, V)
-            if S > 1:
-                buf = jax.lax.ppermute(h, axis, perm)
-        logits = jnp.concatenate(parts, axis=0)  # (B, T, V)
-        logits = jnp.where(s == S - 1, logits, 0)
-        return jax.lax.psum(logits, axis), bufs if defer_commit else pool
-
-    return inner
 
 
 def make_pp_spec_round(
@@ -227,64 +158,25 @@ def make_pp_tree_verify(
     depths = topo["depths"]
     tmask = topo["anc"]
     NT = topo["n_nodes"]
-    S = int(mesh.shape[axis])
-    M = n_micro
-    assert config.n_layer % S == 0
-    pspecs = pp_param_specs(params)
-    poolspecs = pp_pool_specs(pool, axis)
-    perm = [(i, i + 1) for i in range(S - 1)]
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(pspecs, P(), P(), P(), poolspecs),
-        out_specs=(P(), P(axis), P(axis)),
-        check_vma=False,
+    def chain(blocks, pool, x, pos_m, tab_m):
+        # pos_m is the (mbs,) BASE position — the tree chain derives each
+        # node's position from it via `depths`
+        return tree_block_chain(
+            blocks, pool, x, pos_m, tab_m, config, depths, tmask, quantized
+        )
+
+    inner = make_pp_span_forward(
+        config, mesh, params, pool, T=NT, n_micro=n_micro,
+        quantized=quantized, axis=axis, defer_commit=True,
+        chain=chain, write_proto=(0, 0),
     )
-    def inner(params, toks, pos, tables, pool):
-        s = jax.lax.axis_index(axis)
-        B = toks.shape[0]
-        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
-        mbs = B // M
-        emb_all = params["wte"]["weight"][toks]  # (B, NT, D)
-        buf = jnp.zeros((mbs, NT, emb_all.shape[-1]), emb_all.dtype)
-        parts = []
-        kbuf = vbuf = None
-        for t in range(M + S - 1):
-            m = t - s
-            active = (m >= 0) & (m < M)
-            start = jnp.clip(m, 0, M - 1) * mbs
-            emb = jax.lax.dynamic_slice_in_dim(emb_all, start, mbs, 0)
-            pos_m = jax.lax.dynamic_slice_in_dim(pos, start, mbs, 0)
-            tab_m = jax.lax.dynamic_slice_in_dim(tables, start, mbs, 0)
-            pos_m = jnp.where(active, pos_m, 0)
-            tab_m = jnp.where(active, tab_m, 0)
-            x_in = jnp.where(s == 0, emb, buf)
-            h, (k_t, v_t) = tree_block_chain(
-                params["blocks"], pool, x_in, pos_m, tab_m, config,
-                depths, tmask, quantized,
-            )
-            if kbuf is None:
-                kbuf = jnp.zeros((k_t.shape[0], B) + k_t.shape[2:], k_t.dtype)
-                vbuf = jnp.zeros((v_t.shape[0], B) + v_t.shape[2:], v_t.dtype)
 
-            def place(b, w):
-                cur = jax.lax.dynamic_slice_in_dim(b, start, mbs, axis=1)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    b, jnp.where(active, w, cur), start, axis=1
-                )
+    def verify(params, toks, pos, tables, pool):
+        logits, (ks, vs) = inner(params, toks, pos, tables, pool)
+        return logits, ks, vs
 
-            kbuf, vbuf = place(kbuf, k_t), place(vbuf, v_t)
-            if t >= S - 1:
-                y = rmsnorm(h, params["ln_f"]["scale"], config.norm_eps)
-                parts.append(apply_linear(params["lm_head"], y))
-            if S > 1:
-                buf = jax.lax.ppermute(h, axis, perm)
-        logits = jnp.concatenate(parts, axis=0)  # (B, NT, V)
-        logits = jnp.where(s == S - 1, logits, 0)
-        return jax.lax.psum(logits, axis), kbuf, vbuf
-
-    return inner
+    return verify
 
 
 def make_pp_tree_round(

@@ -141,3 +141,15 @@ def test_pp_tree_sampling_smoke(target, draft, rng):
     out = eng.run([(prompt, 8)], temperature=0.8, top_k=20)
     assert len(out[0]) >= len(prompt) + 1
     assert (out[0] >= 0).all() and (out[0] < 64).all()
+
+
+def test_pp_tree_pp_split_false(target, draft, rng):
+    """Regression (ADVICE r1): tree engine + pp_mesh + pp_split=False must not
+    overload the base engine's _pp_commit — the fused 2-tuple prefill program
+    would then be unpacked as the 4-tuple two-dispatch one at first prefill."""
+    prompt = rng.integers(0, 64, size=(6,)).astype(np.int32)
+    want = PagedEngine(target, TCFG, **KW).run([(prompt, 14)])
+    got = _pp_tree(target, draft, tree=(2, 2), pp_split=False).run(
+        [(prompt, 14)]
+    )
+    np.testing.assert_array_equal(got[0], want[0])
