@@ -44,20 +44,22 @@ def make_mesh(
     fsdp: int = -1,
     tp: int = 1,
     pp: int = 1,
+    ep: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('dp', 'fsdp', 'tp'[, 'pp']) mesh; one axis may be -1 (inferred).
+    """Build a ('dp', 'fsdp', 'tp'[, 'pp'][, 'ep']) mesh; one axis may be -1
+    (inferred).
 
-    The 'pp' axis is appended only when ``pp > 1`` so all non-pipeline codepaths
-    see the unchanged 3-axis mesh. 'pp' is placed innermost: pipeline
-    stage-boundary ppermutes are point-to-point and benefit most from ICI
-    adjacency.
+    The 'pp'/'ep' axes are appended only when ``> 1`` so all other codepaths
+    see the unchanged 3-axis mesh. Both are placed innermost: pipeline
+    stage-boundary ppermutes are point-to-point and MoE dispatch all_to_alls
+    are all-pairs — both benefit most from ICI adjacency (`parallel/ep.py`).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    dims = [dp, fsdp, tp] + ([pp] if pp > 1 else [])
-    axes = AXES + (("pp",) if pp > 1 else ())
+    dims = [dp, fsdp, tp] + ([pp] if pp > 1 else []) + ([ep] if ep > 1 else [])
+    axes = AXES + (("pp",) if pp > 1 else ()) + (("ep",) if ep > 1 else ())
     if -1 in dims:
         known = int(np.prod([d for d in dims if d != -1]))
         assert n % known == 0, f"{n} devices not divisible by {known}"
