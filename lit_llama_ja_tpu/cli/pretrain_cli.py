@@ -85,11 +85,18 @@ def main(
     eval_iters: int = 100,
     log_interval: int = 500,
     seed: int = 1337,
+    moe_experts: int = 0,
+    moe_topk: int = 2,
 ) -> None:
     """Pretrain LLaMA on packed datasets (reference `pretrain/redpajama.py:97-189`).
 
     Distribution: a ('dp','fsdp','tp') mesh replaces DeepSpeed ZeRO-1/FSDP; pass the
     axis sizes (fsdp=-1 = all remaining devices).
+
+    MoE (beyond the reference): ``--moe-experts E`` swaps the dense MLP for a
+    top-``--moe-topk`` mixture of E experts per block (`models/moe.py`);
+    expert weights shard E over 'fsdp' and the hidden dim over 'tp'. For a
+    dedicated expert-parallel axis see `parallel/ep.py`.
 
     Resume: ``--resume <out_dir>/state-latest`` restores the FULL training state
     (params, optimizer moments, iteration, exact data position) — beyond the
@@ -119,7 +126,14 @@ def main(
     from lit_llama_ja_tpu.parallel.mesh import maybe_init_distributed
 
     maybe_init_distributed()
-    config = LLaMAConfig.from_name(model_size)
+    if moe_experts:
+        from lit_llama_ja_tpu.models.moe import MoEConfig
+
+        config = MoEConfig.from_name(
+            model_size, n_expert=moe_experts, n_expert_active=moe_topk
+        )
+    else:
+        config = LLaMAConfig.from_name(model_size)
     config.debug()
     os.makedirs(out_dir, exist_ok=True)
 
@@ -130,6 +144,10 @@ def main(
         print(f"load from checkpoint... {load_dir}")
         params, _ = load_checkpoint(load_dir, template=None)
         params = jax.tree.map(jnp.asarray, params)
+    elif moe_experts:
+        from lit_llama_ja_tpu.models.moe import init_moe_params
+
+        params = init_moe_params(jax.random.PRNGKey(seed), config)
     else:
         params = llama.init_params(jax.random.PRNGKey(seed), config)
     params = shard_params(params, mesh)
@@ -146,9 +164,13 @@ def main(
         )
         restart_iter = int(meta.get("iter", -1)) + 1
         print(f"-> continuing from iter {restart_iter}")
-    step = jit_train_step(
-        make_train_step(config, opt, remat=remat), mesh=mesh, params=params
-    )
+    if moe_experts:
+        from lit_llama_ja_tpu.models.moe import make_moe_train_step
+
+        base_step = make_moe_train_step(config, opt, remat=remat)
+    else:
+        base_step = make_train_step(config, opt, remat=remat)
+    step = jit_train_step(base_step, mesh=mesh, params=params)
 
     grad_accum = max(batch_size // mesh.devices.size // micro_batch_size, 1)
     # prefer the native C++ prefetching reader for single-source dirs; the Python

@@ -292,6 +292,26 @@ def forward_moe_with_cache(
     return apply_linear(params["lm_head"], x), new_cache
 
 
+def make_moe_train_step(config: MoEConfig, optimizer, *, remat: bool = False):
+    """Single-mesh MoE train step: plugs `forward_moe` + weighted aux losses
+    into `train/step.make_train_step`, inheriting gradient accumulation and
+    the dp/fsdp/tp shardings (expert leaves shard E over 'fsdp' and the hidden
+    dim over 'tp' — `parallel/specs.PARAM_RULES`). For experts sharded over a
+    dedicated 'ep' axis with all_to_all dispatch use
+    `parallel/ep.make_moe_train_step_ep`."""
+    from lit_llama_ja_tpu.train.step import make_train_step
+
+    def fwd(p, x):
+        logits, aux = forward_moe(p, x, config, remat=remat)
+        penalty = (
+            config.aux_loss_coef * aux["load_balance"]
+            + config.router_z_coef * aux["router_z"]
+        )
+        return logits, penalty
+
+    return make_train_step(config, optimizer, forward_fn=fwd)
+
+
 def moe_loss(
     params: Params,
     batch_inputs: jax.Array,

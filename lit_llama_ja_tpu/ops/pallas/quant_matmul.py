@@ -44,7 +44,7 @@ def _round_up(x, m):
 
 def _qmm4_kernel(
     xe_ref, xo_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
-    *, n_k, groups_per_tile,
+    *, n_k, groups_per_tile, unpack="bf16",
 ):
     """int4: one (bm, bn) output tile, accumulated over the k grid axis.
 
@@ -64,18 +64,45 @@ def _qmm4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # NOTE on the unpack variants: "bf16" (default) measured FASTEST at the 7B
+    # GEMV shapes (303 GB/s at (bk 512, bn 2048)); "arith" (mul/floor nibble
+    # split, f32 planes) measured 210 GB/s and "f32dot" OOMs VMEM at wide
+    # tiles — f32 unpacked planes double VMEM traffic and halve VPU lanes.
+    # Both stay selectable for future toolchains (tools/bench_gemv_sweep.py
+    # --unpack). int8 streams 438 GB/s in the same harness, so int4 decode is
+    # unpack-compute-bound, not HBM-bound: a cheaper unpack is the remaining
+    # single-stream headroom (~×1.35) if Mosaic ever grows u8→bf16 casts.
     w32 = w_ref[:].astype(jnp.int32)
-    lo = (w32 & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
-    hi = (w32 >> 4).astype(jnp.float32).astype(jnp.bfloat16)
+    if unpack == "arith_bf16":
+        # nibble split in bf16 (2x VPU lane rate vs i32/f32): exact, since
+        # bf16 represents 0..255 integers and the mul/floor/sub chain stays
+        # on exact values (0.0625 is a power of two).
+        c = w32.astype(jnp.float32).astype(jnp.bfloat16)
+        hi = jnp.floor(c * jnp.bfloat16(0.0625))
+        lo = c - hi * jnp.bfloat16(16.0)
+    elif unpack == "arith":
+        # single int→f32 cast; nibble split via mul/floor on the VPU
+        c = w32.astype(jnp.float32)
+        hi = jnp.floor(c * 0.0625)
+        lo = c - hi * 16.0
+    elif unpack == "f32dot":
+        # skip the bf16 narrowing casts; MXU takes f32 operands (fine at
+        # GEMV M — the matmul is nowhere near compute-bound)
+        lo = (w32 & 0xF).astype(jnp.float32)
+        hi = (w32 >> 4).astype(jnp.float32)
+    else:
+        lo = (w32 & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+        hi = (w32 >> 4).astype(jnp.float32).astype(jnp.bfloat16)
 
     bk = lo.shape[0]
+    xdt = lo.dtype  # match operand dtypes for the MXU dot
     sub = bk // groups_per_tile  # packed rows per scale group within this tile
     part_sum = jnp.zeros_like(acc_ref)
     for g in range(groups_per_tile):
         sl = slice(g * sub, (g + 1) * sub)
         gi = k * groups_per_tile + g  # global group row (s/z passed whole)
-        xe_g = xe_ref[:, sl]
-        xo_g = xo_ref[:, sl]
+        xe_g = xe_ref[:, sl].astype(xdt)
+        xo_g = xo_ref[:, sl].astype(xdt)
         part = jnp.dot(
             xe_g, lo[sl], preferred_element_type=jnp.float32
         ) + jnp.dot(xo_g, hi[sl], preferred_element_type=jnp.float32)
@@ -149,7 +176,7 @@ def _plan_tiles(Kq: int, n_groups: int, block_k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret", "unpack"),
 )
 def quant_matmul_int4(
     x: jax.Array,  # (..., K)
@@ -158,12 +185,21 @@ def quant_matmul_int4(
     zeros: jax.Array,  # (n_groups, N)
     *,
     block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 1024,  # packed rows per k-tile
+    block_n: int = None,
+    block_k: int = None,  # packed rows per k-tile
     out_dtype=None,
     interpret: bool = False,
+    unpack: str = "bf16",  # "bf16" | "f32dot" | "arith" (see _qmm4_kernel)
 ):
-    """Fused int4 dequant matmul: ``x @ dequant(qweight)``."""
+    """Fused int4 dequant matmul: ``x @ dequant(qweight)``.
+
+    Default tiling is M-dependent: the decode/GEMV regime (small M) uses wide
+    (512, 4096) k×n tiles — measured 19% faster weight streaming than the
+    (1024, 512) tiles at 7B M=1 shapes (256.8 → 315.7 GB/s,
+    `tools/bench_gemv_sweep.py`; narrow strided 512-byte row chunks under-use
+    the HBM controller, `tools/bench_tile_read.py`). Large M keeps (1024, 512)
+    (M=2048 prefill measured insensitive to tiling, ±4%, and wide-N tiles with
+    a large bm would blow VMEM)."""
     orig_shape = x.shape
     K = x.shape[-1]
     Khalf, N = qweight.shape
@@ -173,6 +209,10 @@ def quant_matmul_int4(
 
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    if block_n is None:
+        block_n = 4096 if M <= 64 else 512
+    if block_k is None:
+        block_k = 512 if M <= 64 else 1024
     bm = min(block_m, _round_up(M, 8))
     bn = min(block_n, N)
     bk, gpt = _plan_tiles(Khalf, n_groups, block_k)
@@ -200,7 +240,9 @@ def quant_matmul_int4(
     n_tiles = s_tiled.shape[0]
     grid = (Mp // bm, pl.cdiv(N, bn), n_k)
     out = pl.pallas_call(
-        functools.partial(_qmm4_kernel, n_k=n_k, groups_per_tile=gpt),
+        functools.partial(
+            _qmm4_kernel, n_k=n_k, groups_per_tile=gpt, unpack=unpack
+        ),
         grid=grid,
         interpret=interpret,
         in_specs=[
@@ -238,8 +280,8 @@ def quant_matmul_int8(
     zeros: jax.Array,
     *,
     block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 2048,
+    block_n: int = None,
+    block_k: int = None,
     out_dtype=None,
     interpret: bool = False,
 ):
@@ -253,6 +295,13 @@ def quant_matmul_int8(
 
     x2 = x.reshape(-1, K).astype(jnp.bfloat16)
     M = x2.shape[0]
+    # M-dependent tiling like the int4 kernel: decode/GEMV streams fastest
+    # with (bk 512, bn 2048) tiles (437.9 vs 407.5 GB/s at the 7B M=1 shapes,
+    # tools/bench_gemv_sweep.py --bits 8); large M keeps the original tiles.
+    if block_n is None:
+        block_n = 2048 if M <= 64 else 512
+    if block_k is None:
+        block_k = 512 if M <= 64 else 2048
     bm = min(block_m, _round_up(M, 8))
     bn = min(block_n, N)
     bk, gpt = _plan_tiles(K, n_groups, block_k)

@@ -37,6 +37,13 @@ PARAM_RULES = (
     # mlp down projection (L, H, D): row-parallel
     (r"blocks/mlp/c_proj/(weight|qweight)$", P(None, "tp", "fsdp")),
     (r"blocks/mlp/c_proj/(scales|zeros)$", P(None, None, "fsdp")),
+    # MoE stacked experts (models/moe.py): expert axis over fsdp, in-expert
+    # hidden dim over tp (mirrors the dense mlp col/row split); router
+    # replicates (tiny, f32). A dedicated 'ep' axis instead uses
+    # parallel/ep.ep_param_specs + explicit all_to_all routing.
+    (r"blocks/moe/c_fc[12]/weight$", P(None, "fsdp", None, "tp")),
+    (r"blocks/moe/c_proj/weight$", P(None, "fsdp", "tp", None)),
+    (r"blocks/moe/router/weight$", P()),
     # LoRA (applied to c_attn): A (L, r2, D) fsdp on D; B (L, sum_enabled*out/3, r) tp on out
     (r"lora/.*/lora_A$", P(None, None, "fsdp")),
     (r"lora/.*/lora_B$", P(None, "tp", None)),

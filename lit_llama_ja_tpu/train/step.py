@@ -97,8 +97,12 @@ def make_train_step(
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 p,
             )
-        logits = fwd(p, inputs)
-        return cross_entropy_loss(logits, targets, ignore_index)
+        out = fwd(p, inputs)
+        # forward_fn may return (logits, penalty) — e.g. MoE aux losses
+        # (models/moe.make_moe_train_step); penalty is added to the CE loss.
+        logits, penalty = out if isinstance(out, tuple) else (out, None)
+        loss = cross_entropy_loss(logits, targets, ignore_index)
+        return loss + penalty if penalty is not None else loss
 
     def train_step(params, opt_state, batch):
         if trainable_pred is not None:

@@ -226,3 +226,33 @@ def test_ep_train_step_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+def test_moe_train_step_fsdp_tp_mesh(rng):
+    """`make_moe_train_step` runs sharded on a dp×fsdp×tp mesh (experts shard
+    E over fsdp, hidden over tp via specs.PARAM_RULES) and matches the
+    unsharded step."""
+    from lit_llama_ja_tpu.models.moe import make_moe_train_step
+    from lit_llama_ja_tpu.parallel.specs import shard_params
+    from lit_llama_ja_tpu.train.step import jit_train_step, make_adamw
+
+    opt = make_adamw(lambda _: 1e-3, grad_clip=None)
+    step_fn = make_moe_train_step(CFG, opt)
+    batch = jnp.asarray(
+        rng.integers(0, CFG.vocab_size, size=(1, 4, CFG.block_size + 1)), jnp.int32
+    )
+
+    params = _params()
+    ref_p, _, ref_loss = jax.jit(step_fn)(params, opt.init(params), batch)
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=2, devices=jax.devices()[:4])
+    sp = shard_params(_params(), mesh)
+    step = jit_train_step(step_fn, mesh=mesh, params=sp)
+    new_p, _, loss = step(sp, opt.init(sp), batch)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_p["blocks"]["moe"]["c_fc1"]["weight"]),
+        np.asarray(ref_p["blocks"]["moe"]["c_fc1"]["weight"]),
+        rtol=2e-4, atol=2e-5,
+    )

@@ -81,3 +81,28 @@ def test_int4_kernel_ragged_n(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 2e-2)
+
+
+@pytest.mark.parametrize("unpack", ["bf16", "f32dot", "arith", "arith_bf16"])
+def test_int4_unpack_variants_match(rng, unpack):
+    """All in-kernel nibble-unpack strategies are numerically equivalent
+    (arith variants rely on bf16/f32 representing 0..255 exactly)."""
+    K, N = 256, 256
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    p = quantize_colblock(jnp.asarray(w), bits=4, tile_cols=64)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+
+    base = np.asarray(
+        quant_matmul_int4(
+            jnp.asarray(x), p["qweight"], p["scales"], p["zeros"],
+            block_m=8, block_n=128, interpret=True, out_dtype=jnp.float32,
+        )
+    )
+    got = np.asarray(
+        quant_matmul_int4(
+            jnp.asarray(x), p["qweight"], p["scales"], p["zeros"],
+            block_m=8, block_n=128, interpret=True, out_dtype=jnp.float32,
+            unpack=unpack,
+        )
+    )
+    np.testing.assert_allclose(got, base, atol=np.abs(base).max() * 1e-6)
