@@ -33,6 +33,17 @@ from lit_llama_ja_tpu.core.config import LLaMAConfig, llama_model_lookup
 # Native (orbax) checkpoints
 # ---------------------------------------------------------------------------
 
+def _config_from_dict(d: dict):
+    """Rebuild the right config class from config.json: MoE checkpoints carry
+    the extra expert fields (models/moe.MoEConfig); dense ones are plain
+    LLaMAConfig."""
+    if "n_expert" in d:
+        from lit_llama_ja_tpu.models.moe import MoEConfig
+
+        return MoEConfig(**d)
+    return LLaMAConfig(**d)
+
+
 def save_checkpoint(path, params, config: Optional[LLaMAConfig] = None) -> None:
     """Save a param tree (and optionally its config) to ``path`` (a directory)."""
     import orbax.checkpoint as ocp
@@ -75,7 +86,7 @@ def load_checkpoint(
     config = None
     cfg_file = path / "config.json"
     if cfg_file.exists():
-        config = LLaMAConfig(**json.loads(cfg_file.read_text()))
+        config = _config_from_dict(json.loads(cfg_file.read_text()))
     return params, config
 
 

@@ -68,10 +68,12 @@ def _qmm4_kernel(
     # GEMV shapes (303 GB/s at (bk 512, bn 2048)); "arith" (mul/floor nibble
     # split, f32 planes) measured 210 GB/s and "f32dot" OOMs VMEM at wide
     # tiles — f32 unpacked planes double VMEM traffic and halve VPU lanes.
-    # Both stay selectable for future toolchains (tools/bench_gemv_sweep.py
-    # --unpack). int8 streams 438 GB/s in the same harness, so int4 decode is
-    # unpack-compute-bound, not HBM-bound: a cheaper unpack is the remaining
-    # single-stream headroom (~×1.35) if Mosaic ever grows u8→bf16 casts.
+    # "arith_bf16" (the split at bf16 lane rate) never finishes compiling on
+    # this Mosaic toolchain (bf16 floor pathology). All stay selectable for
+    # future toolchains (tools/bench_gemv_sweep.py --unpack). int8 streams
+    # 438 GB/s in the same harness, so int4 decode is unpack-compute-bound,
+    # not HBM-bound: a cheaper unpack is the remaining single-stream headroom
+    # (~×1.35) if Mosaic ever grows u8→bf16 casts.
     w32 = w_ref[:].astype(jnp.int32)
     if unpack == "arith_bf16":
         # nibble split in bf16 (2x VPU lane rate vs i32/f32): exact, since

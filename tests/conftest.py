@@ -24,3 +24,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled-executable state between test modules.
+
+    The full suite accumulates hundreds of XLA:CPU compilations; without this,
+    compilation aborts (SIGABRT inside backend_compile_and_load, no XLA error
+    text) deterministically near the end of the run (test_tree_spec) while the
+    same tests pass in isolation. Per-module cache clearing keeps the peak
+    compiler state bounded; within-module recompiles are cheap."""
+    yield
+    jax.clear_caches()

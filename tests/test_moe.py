@@ -256,3 +256,19 @@ def test_moe_train_step_fsdp_tp_mesh(rng):
         np.asarray(ref_p["blocks"]["moe"]["c_fc1"]["weight"]),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_moe_checkpoint_config_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint preserve the MoEConfig subclass and
+    its expert fields (config.json carries n_expert etc.)."""
+    from lit_llama_ja_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    params = _params()
+    save_checkpoint(tmp_path / "ckpt", params, CFG)
+    loaded, cfg = load_checkpoint(tmp_path / "ckpt", template=params)
+    assert isinstance(cfg, MoEConfig)
+    assert cfg == CFG
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks"]["moe"]["c_fc1"]["weight"]),
+        np.asarray(params["blocks"]["moe"]["c_fc1"]["weight"]),
+    )
