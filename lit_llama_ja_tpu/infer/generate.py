@@ -30,6 +30,18 @@ def bucket_length(n: int, minimum: int = 16) -> int:
     return b
 
 
+def _cached_forward(params, idx, input_pos, cache, config):
+    """Dispatch the incremental forward on the config class: MoE checkpoints
+    (config.json carries expert fields → `models/moe.MoEConfig`) decode
+    through the sparse-MLP path; dense configs through `llama`. The config is
+    jit-static, so this is a trace-time branch."""
+    from lit_llama_ja_tpu.models.moe import MoEConfig, forward_moe_with_cache
+
+    if isinstance(config, MoEConfig):
+        return forward_moe_with_cache(params, idx, input_pos, cache, config)
+    return forward_with_cache(params, idx, input_pos, cache, config)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -58,7 +70,7 @@ def _generate_jit(
     # --- prefill: all P slots in one pass; slots >= prompt_len hold garbage but are
     # masked by position until overwritten by decode steps.
     input_pos = jnp.arange(P, dtype=jnp.int32)
-    logits, cache = forward_with_cache(
+    logits, cache = _cached_forward(
         params, padded_prompt[None, :], input_pos, cache, config
     )
     # logits of the *last real* prompt token
@@ -71,7 +83,7 @@ def _generate_jit(
     def step(carry, _):
         cache, tok, pos, key = carry
         key, sub = jax.random.split(key)
-        logits, cache = forward_with_cache(
+        logits, cache = _cached_forward(
             params, tok[None, None], pos[None], cache, config
         )
         nxt = sample_token(sub, logits[0, -1], temperature, top_k, top_p)

@@ -272,3 +272,21 @@ def test_moe_checkpoint_config_roundtrip(tmp_path):
         np.asarray(loaded["blocks"]["moe"]["c_fc1"]["weight"]),
         np.asarray(params["blocks"]["moe"]["c_fc1"]["weight"]),
     )
+
+
+def test_generate_with_moe_config(rng):
+    """`infer/generate.generate` dispatches to the MoE cached forward when the
+    config is an MoEConfig — MoE checkpoints generate through the standard
+    CLI path. Greedy output must match teacher-forced argmax of the full
+    forward."""
+    from lit_llama_ja_tpu.infer.generate import generate
+
+    params = _params()
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(5,)), jnp.int32)
+    out = generate(params, CFG, prompt, 4, temperature=0.0)
+
+    seq = list(np.asarray(prompt))
+    for _ in range(4):
+        logits, _ = forward_moe(params, jnp.asarray([seq], jnp.int32), CFG)
+        seq.append(int(np.asarray(logits)[0, -1].argmax()))
+    np.testing.assert_array_equal(out, np.asarray(seq, out.dtype))
