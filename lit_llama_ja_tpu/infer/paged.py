@@ -342,10 +342,20 @@ def paged_block_chain(
     def finish(x, block_params, y):
         y = y.transpose(0, 2, 1, 3).reshape(B, T, config.n_embd)
         x = x + apply_linear(block_params["attn"]["c_proj"], y)
-        return x + mlp_block(
-            block_params["mlp"],
-            rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps),
-        )
+        h = rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps)
+        if "moe" in block_params:
+            # MoE serving: sparse-MLP blocks (models/moe.py) drop into the
+            # paged engine unchanged — routing is per-token and orthogonal to
+            # the KV pool. Capacity covers every (slot, token) assignment so
+            # serving output is exact (no congestion drops), matching
+            # forward_moe_with_cache's decode policy.
+            from lit_llama_ja_tpu.core.config import find_multiple
+            from lit_llama_ja_tpu.models.moe import moe_mlp
+
+            cap = find_multiple(B * T * config.n_expert_active, 8)
+            y2, _ = moe_mlp(block_params["moe"], h, config, capacity=cap)
+            return x + y2
+        return x + mlp_block(block_params["mlp"], h)
 
     L = jax.tree.leaves(blocks)[0].shape[0]
 

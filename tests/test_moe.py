@@ -290,3 +290,25 @@ def test_generate_with_moe_config(rng):
         logits, _ = forward_moe(params, jnp.asarray([seq], jnp.int32), CFG)
         seq.append(int(np.asarray(logits)[0, -1].argmax()))
     np.testing.assert_array_equal(out, np.asarray(seq, out.dtype))
+
+
+def test_moe_paged_engine_matches_generate(rng):
+    """The paged serving engine serves MoE checkpoints: greedy token streams
+    bitwise match `infer/generate.generate` on the same MoE model (routing is
+    per-token, orthogonal to the page pool)."""
+    from lit_llama_ja_tpu.infer.generate import generate
+    from lit_llama_ja_tpu.infer.paged import PagedEngine
+
+    params = _params()
+    prompts = [
+        jnp.asarray(rng.integers(0, CFG.vocab_size, size=(n,)), jnp.int32)
+        for n in (5, 3)
+    ]
+    want = [
+        generate(params, CFG, p, 4, temperature=0.0).tolist() for p in prompts
+    ]
+
+    eng = PagedEngine(params, CFG, max_batch=2, n_pages=24, page_size=4)
+    out = eng.run([(np.asarray(p), 4) for p in prompts])
+    got = [out[rid].tolist() for rid in sorted(out)]
+    assert got == want
