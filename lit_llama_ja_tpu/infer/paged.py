@@ -55,8 +55,9 @@ def init_page_pool(
     """Zero page pool ``(L, n_pages, nh, page_size, hd)`` (+ per-token scales
     ``(L, n_pages, nh, page_size)`` when quantized).
 
-    ``quantized``: False | True/"int8" | "int4" (packed 2/byte along hd —
-    quarter the KV traffic; see `ops/attention.quantize_kv4`).
+    ``quantized``: False | True/"int8" | "int4" (packed 2/byte across head
+    pairs — half the int8 pool bytes with NO lane padding; see
+    `ops/attention.quantize_kv4`).
 
     Heads-major layout: a page block ``(nh, page, hd)`` feeds both the XLA
     einsum path (matches `decode_attention`'s ``bhsd``) and the Pallas decode
@@ -70,7 +71,12 @@ def init_page_pool(
     )
     sshape = shape[:-1]
     if quantized == "int4":
-        pshape = shape[:-1] + (config.head_dim // 2,)
+        # head-pair packed: nh/2 byte planes of FULL head_dim (128 lanes; an
+        # hd/2 trailing dim would pad 64→128 and double real HBM use)
+        pshape = (
+            config.n_layer, n_pages, config.n_head // 2,
+            page_size, config.head_dim,
+        )
         return {
             "k": jnp.zeros(pshape, jnp.uint8),
             "v": jnp.zeros(pshape, jnp.uint8),
@@ -130,21 +136,14 @@ def _paged_attention(q, gath, pos, quantized):
     slot = jnp.arange(S, dtype=pos.dtype)
     mask = (slot[None, None, :] <= pos[:, :, None])[:, None]  # (B, 1, T, S)
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    if quantized and gath["k"].dtype == jnp.uint8:  # int4 packed
-        from lit_llama_ja_tpu.ops.attention import _unpack4
+    if quantized and gath["k"].dtype == jnp.uint8:  # int4 head-pair packed
+        from lit_llama_ja_tpu.ops.attention import int4_scores, int4_values
 
-        B, nh, T, hd = q.shape
-        lo, hi = _unpack4(gath["k"])
-        att = jnp.einsum(
-            "bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)
-        ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype))
+        att = int4_scores(q, gath["k"])
         att = att * gath["k_scale"][:, :, None, :].astype(jnp.float32)
         att = _masked_softmax(att * scale, mask)
         att = (att * gath["v_scale"][:, :, None, :]).astype(q.dtype)
-        vlo, vhi = _unpack4(gath["v"])
-        ye = jnp.einsum("bhqs,bhsd->bhqd", att, vlo.astype(q.dtype))
-        yo = jnp.einsum("bhqs,bhsd->bhqd", att, vhi.astype(q.dtype))
-        return jnp.stack([ye, yo], axis=-1).reshape(B, nh, T, hd)
+        return int4_values(att, gath["v"])
     if quantized:
         att = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype))
         att = att * gath["k_scale"][:, :, None, :].astype(jnp.float32)
@@ -165,7 +164,7 @@ def _span_attention(q, gath, fresh, pos0, quantized):
     q: (B, nh, T, hd); gath: page-cache views (B, nh, S, ...) that do NOT yet
     contain the span (masked strictly below ``pos0`` (B,), the span's start
     position); fresh: the layer's write dict in write layout — k/v
-    (B, T, nh, hd) (packed hd/2 for int4) + scales (B, T, nh) — quantized with
+    (B, T, nh, hd) (head-pair packed (B, T, nh/2, hd) for int4) + scales (B, T, nh) — quantized with
     the same math as the cache write, so results match write-then-attend; the
     span attends to itself causally. Used by the deferred-write
     `paged_block_chain` so the pool can stay a loop invariant."""
@@ -180,37 +179,23 @@ def _span_attention(q, gath, fresh, pos0, quantized):
     mask = jnp.concatenate(
         [cmask, jnp.broadcast_to(causal[None, None], (B, 1, T, T))], axis=-1
     )
-    fk = jnp.swapaxes(fresh["k"], 1, 2)  # (B, nh, T, hd[/2])
+    fk = jnp.swapaxes(fresh["k"], 1, 2)  # (B, nh[/2], T, hd)
     fv = jnp.swapaxes(fresh["v"], 1, 2)
-    if quantized and gath["k"].dtype == jnp.uint8:  # int4 packed
-        from lit_llama_ja_tpu.ops.attention import _unpack4
+    if quantized and gath["k"].dtype == jnp.uint8:  # int4 head-pair packed
+        from lit_llama_ja_tpu.ops.attention import int4_scores, int4_values
 
         fks = jnp.swapaxes(fresh["k_scale"], 1, 2)  # (B, nh, T)
         fvs = jnp.swapaxes(fresh["v_scale"], 1, 2)
-        lo, hi = _unpack4(gath["k"])
-        flo, fhi = _unpack4(fk)
-        att_c = jnp.einsum(
-            "bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)
-        ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype))
+        att_c = int4_scores(q, gath["k"])
         att_c = att_c * gath["k_scale"][:, :, None, :].astype(jnp.float32)
-        att_f = jnp.einsum(
-            "bhqd,bhsd->bhqs", q[..., 0::2], flo.astype(q.dtype)
-        ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], fhi.astype(q.dtype))
+        att_f = int4_scores(q, fk)
         att_f = att_f * fks[:, :, None, :].astype(jnp.float32)
         att = _masked_softmax(
             jnp.concatenate([att_c, att_f], -1) * scale, mask
         )
         ac = (att[..., :S] * gath["v_scale"][:, :, None, :]).astype(q.dtype)
         af = (att[..., S:] * fvs[:, :, None, :]).astype(q.dtype)
-        vlo, vhi = _unpack4(gath["v"])
-        fvlo, fvhi = _unpack4(fv)
-        ye = jnp.einsum("bhqs,bhsd->bhqd", ac, vlo.astype(q.dtype)) + jnp.einsum(
-            "bhqs,bhsd->bhqd", af, fvlo.astype(q.dtype)
-        )
-        yo = jnp.einsum("bhqs,bhsd->bhqd", ac, vhi.astype(q.dtype)) + jnp.einsum(
-            "bhqs,bhsd->bhqd", af, fvhi.astype(q.dtype)
-        )
-        return jnp.stack([ye, yo], axis=-1).reshape(B, nh, T, hd)
+        return int4_values(ac, gath["v"]) + int4_values(af, fv)
     if quantized:
         fks = jnp.swapaxes(fresh["k_scale"], 1, 2)
         fvs = jnp.swapaxes(fresh["v_scale"], 1, 2)

@@ -139,13 +139,10 @@ def _tree_attention(q, gath, fk, fv, pos_base, tmask, quantized):
     mask = jnp.concatenate([cmask, tm], axis=-1)  # (B, 1, W, S+W)
 
     att_t = jnp.einsum("bhqd,bhsd->bhqs", q, fk.astype(q.dtype))
-    if quantized and gath["k"].dtype == jnp.uint8:  # int4-packed cache
-        from lit_llama_ja_tpu.ops.attention import _unpack4
+    if quantized and gath["k"].dtype == jnp.uint8:  # int4 head-pair packed
+        from lit_llama_ja_tpu.ops.attention import int4_scores, int4_values
 
-        lo, hi = _unpack4(gath["k"])
-        att_c = jnp.einsum(
-            "bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)
-        ) + jnp.einsum("bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype))
+        att_c = int4_scores(q, gath["k"])
         att_c = att_c * gath["k_scale"][:, :, None, :].astype(jnp.float32)
         att = _masked_softmax(
             jnp.concatenate([att_c, att_t.astype(att_c.dtype)], -1) * scale,
@@ -153,10 +150,7 @@ def _tree_attention(q, gath, fk, fv, pos_base, tmask, quantized):
         )
         ac, at = att[..., :S], att[..., S:].astype(q.dtype)
         ac = (ac * gath["v_scale"][:, :, None, :]).astype(q.dtype)
-        vlo, vhi = _unpack4(gath["v"])
-        ye = jnp.einsum("bhqs,bhsd->bhqd", ac, vlo.astype(q.dtype))
-        yo = jnp.einsum("bhqs,bhsd->bhqd", ac, vhi.astype(q.dtype))
-        y_c = jnp.stack([ye, yo], axis=-1).reshape(B, nh, W, hd)
+        y_c = int4_values(ac, gath["v"])
         return y_c + jnp.einsum("bhqs,bhsd->bhqd", at, fv.astype(q.dtype))
     if quantized:
         att_c = jnp.einsum("bhqd,bhsd->bhqs", q, gath["k"].astype(q.dtype))

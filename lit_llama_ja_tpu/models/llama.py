@@ -100,7 +100,13 @@ def init_kv_cache(
     shape = (config.n_layer, batch_size, config.n_head, max_seq_length, config.head_dim)
     sshape = shape[:-1] + (1,)
     if quantized == "int4":
-        pshape = shape[:-1] + (config.head_dim // 2,)
+        # head-pair packed: nh/2 byte planes of full head_dim (128 lanes — an
+        # hd/2 trailing dim would pad 64→128 lanes and double the real HBM
+        # footprint; see ops/attention.quantize_kv4)
+        pshape = (
+            config.n_layer, batch_size, config.n_head // 2,
+            max_seq_length, config.head_dim,
+        )
         return {
             "k": jnp.zeros(pshape, jnp.uint8),
             "v": jnp.zeros(pshape, jnp.uint8),
@@ -226,7 +232,7 @@ def attention_block(
                 quantize_kv4,
             )
 
-            kq, ks, vq, vs = quantize_kv4(k, v)
+            kq, ks, vq, vs = quantize_kv4(k, v, head_axis=1)
             writes = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
         elif quantized:
             from lit_llama_ja_tpu.ops.attention import (

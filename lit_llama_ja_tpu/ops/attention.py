@@ -149,31 +149,64 @@ def prefix_attention(q: jax.Array, ak: jax.Array, av: jax.Array) -> jax.Array:
     return _sdpa(q, ak, av, mask, scale)
 
 
-def quantize_kv4(k: jax.Array, v: jax.Array):
-    """Per-(token, head) absmax INT4 quantization, packed 2 values/byte along
-    head_dim (even indices in the low nibble, odd in the high — the same
-    even/odd split the int4 weight kernel uses, so the attention contraction
-    never materializes an unpacked cache; see `decode_attention_quant4`).
+def quantize_kv4(k: jax.Array, v: jax.Array, head_axis: int = -2):
+    """Per-(token, head) absmax INT4 quantization, packed 2 values/byte across
+    ADJACENT HEAD PAIRS (head 2j in the low nibble, 2j+1 in the high), keeping
+    the full head_dim as the trailing axis.
 
-    k, v: (..., hd) with hd even -> (uint8 (..., hd/2), f32 scales (..., 1)).
+    Why head pairs, not adjacent hd elements: a trailing hd/2 = 64-byte dim
+    pads to 128 TPU lanes, silently DOUBLING the packed cache's real HBM
+    footprint and traffic — which is why the element-packed int4 cache never
+    beat int8 on throughput and why large batches stopped fitting (PERF.md
+    round 2, "int4 KV lane padding"). Head-pair planes keep 128 lanes, a
+    token's write still produces both nibbles of every byte (no
+    read-modify-write — the write-only commit dispatch survives), and the
+    attention contraction splits over even/odd HEADS instead of hd elements
+    (`int4_scores`/`int4_values`) so no unpacked cache materializes.
+
+    k, v: (..., nh at ``head_axis``, ..., hd) with nh even ->
+    (uint8 with nh/2 at ``head_axis``, f32 scales (..., 1) in the ORIGINAL
+    per-head layout).
     """
 
     def one(x):
         absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
         scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7) + 8
-        q = q.astype(jnp.uint8)
-        lo = q[..., 0::2]
-        hi = q[..., 1::2]
-        return (lo | (hi << 4)).astype(jnp.uint8), scale
+        q = jnp.moveaxis(q.astype(jnp.uint8), head_axis, -2)
+        assert q.shape[-2] % 2 == 0, "int4 KV needs an even head count"
+        packed = q[..., 0::2, :] | (q[..., 1::2, :] << 4)
+        return jnp.moveaxis(packed.astype(jnp.uint8), -2, head_axis), scale
 
     kq, ks = one(k)
     vq, vs = one(v)
     return kq, ks, vq, vs
 
 
+def int4_scores(q: jax.Array, packed: jax.Array) -> jax.Array:
+    """q (B, nh, T, hd) · head-pair-packed keys (B, nh/2, S, hd) →
+    scores (B, nh, T, S). Even heads read the low nibbles, odd the high;
+    int8 nibble planes fuse into the dots (no unpacked cache)."""
+    lo, hi = _unpack4(packed)
+    ae = jnp.einsum("bhqd,bhsd->bhqs", q[:, 0::2], lo.astype(q.dtype))
+    ao = jnp.einsum("bhqd,bhsd->bhqs", q[:, 1::2], hi.astype(q.dtype))
+    B, nh2, T, S = ae.shape
+    return jnp.stack([ae, ao], axis=2).reshape(B, 2 * nh2, T, S)
+
+
+def int4_values(att: jax.Array, packed: jax.Array) -> jax.Array:
+    """att (B, nh, T, S) · head-pair-packed values (B, nh/2, S, hd) →
+    y (B, nh, T, hd)."""
+    vlo, vhi = _unpack4(packed)
+    ye = jnp.einsum("bhqs,bhsd->bhqd", att[:, 0::2], vlo.astype(att.dtype))
+    yo = jnp.einsum("bhqs,bhsd->bhqd", att[:, 1::2], vhi.astype(att.dtype))
+    B, nh2, T, hd = ye.shape
+    return jnp.stack([ye, yo], axis=2).reshape(B, 2 * nh2, T, hd)
+
+
 def _unpack4(packed: jax.Array):
-    """(..., hd/2) uint8 -> centered int8 nibbles (lo=even dims, hi=odd).
+    """(..., hd) uint8 head-pair planes -> centered int8 nibbles
+    (lo = even heads, hi = odd heads).
 
     Stays in 8-bit arithmetic end to end: an int32 intermediate made XLA
     materialize two full-width planes after the page gather (4x the int8
@@ -187,17 +220,17 @@ def _unpack4(packed: jax.Array):
 
 def decode_attention_quant4(
     q: jax.Array,  # (B, nh, T, hd)
-    k_q: jax.Array,  # (B, nh, S, hd/2) uint8 packed
+    k_q: jax.Array,  # (B, nh/2, S, hd) uint8 head-pair packed
     k_scale: jax.Array,  # (B, nh, S, 1) f32
     v_q: jax.Array,
     v_scale: jax.Array,
     input_pos: jax.Array,
 ) -> jax.Array:
-    """Decode attention against an INT4-packed KV cache.
+    """Decode attention against an INT4 head-pair-packed KV cache.
 
-    The packed bytes stream from HBM at nibble width; the q·k contraction
-    splits into even/odd halves (``q·k = q_even·lo + q_odd·hi``) and the p·v
-    output re-interleaves at the end — scales fold exactly as in
+    The packed bytes stream from HBM at true nibble width (the trailing dim
+    stays hd = 128 lanes — no padding); the contraction splits over even/odd
+    HEADS (`int4_scores`/`int4_values`) and scales fold exactly as in
     `decode_attention_quant`.
     """
     B, nh, T, hd = q.shape
@@ -205,15 +238,9 @@ def decode_attention_quant4(
     scale = 1.0 / (hd**0.5)
     slot = jnp.arange(S, dtype=input_pos.dtype)
     mask = (slot[None, :] <= input_pos[:, None])[None, None]
-    lo, hi = _unpack4(k_q)
-    att = jnp.einsum("bhqd,bhsd->bhqs", q[..., 0::2], lo.astype(q.dtype)) + jnp.einsum(
-        "bhqd,bhsd->bhqs", q[..., 1::2], hi.astype(q.dtype)
-    )
+    att = int4_scores(q, k_q)
     att = att * k_scale[..., 0][:, :, None, :].astype(jnp.float32)
     att = jnp.where(mask, att * scale, -jnp.inf)
     att = jax.nn.softmax(att, axis=-1)
     att = (att * v_scale[..., 0][:, :, None, :]).astype(q.dtype)
-    vlo, vhi = _unpack4(v_q)
-    ye = jnp.einsum("bhqs,bhsd->bhqd", att, vlo.astype(q.dtype))
-    yo = jnp.einsum("bhqs,bhsd->bhqd", att, vhi.astype(q.dtype))
-    return jnp.stack([ye, yo], axis=-1).reshape(B, nh, T, hd)
+    return int4_values(att, v_q)

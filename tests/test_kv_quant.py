@@ -86,12 +86,12 @@ def test_quantize_kv4_roundtrip(rng):
 
     k = jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32)
-    kq, ks, vq, vs = quantize_kv4(k, v)
-    assert kq.dtype == jnp.uint8 and kq.shape == (1, 2, 4, 4)
-    lo, hi = _unpack4(kq)
+    kq, ks, vq, vs = quantize_kv4(k, v)  # head axis -2: packs head pairs
+    assert kq.dtype == jnp.uint8 and kq.shape == (1, 2, 2, 8)
+    lo, hi = _unpack4(kq)  # lo = even heads, hi = odd heads
     recon = np.empty((1, 2, 4, 8), np.float32)
-    recon[..., 0::2] = np.asarray(lo) * np.asarray(ks)
-    recon[..., 1::2] = np.asarray(hi) * np.asarray(ks)
+    recon[..., 0::2, :] = np.asarray(lo) * np.asarray(ks)[..., 0::2, :]
+    recon[..., 1::2, :] = np.asarray(hi) * np.asarray(ks)[..., 1::2, :]
     # absmax int4: error bounded by scale/2
     assert np.max(np.abs(recon - np.asarray(k))) <= np.max(np.asarray(ks)) / 2 + 1e-6
 
@@ -109,7 +109,7 @@ def test_int4_cache_decode_close_to_fp(rng):
     v = jnp.asarray(rng.standard_normal((B, nh, S, hd)), jnp.float32)
     pos = jnp.asarray([S - 1], jnp.int32)
     want = np.asarray(decode_attention(q, k, v, pos))
-    kq, ks, vq, vs = quantize_kv4(k, v)
+    kq, ks, vq, vs = quantize_kv4(k, v, head_axis=1)
     got = np.asarray(decode_attention_quant4(q, kq, ks, vq, vs, pos))
     # int4 is coarse: ~7% relative is the expected regime at these scales
     assert np.max(np.abs(got - want)) < 0.15 * np.max(np.abs(want)) + 0.05
