@@ -46,6 +46,9 @@ def _finetune_driver(
     lora_alpha: int = 16,
     lora_dropout: float = 0.05,
     seed: int = 1337,
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
 ):
     import optax
 
@@ -56,6 +59,7 @@ def _finetune_driver(
     from lit_llama_ja_tpu.train.lr import cosine_with_warmup
     from lit_llama_ja_tpu.train.step import (
         init_opt_state,
+        jit_train_step,
         make_adamw,
         make_sft_train_step,
     )
@@ -94,18 +98,32 @@ def _finetune_driver(
         config = acfg
         forward_fn = lambda p, x: adapter_mod.adapter_forward(p, x, config)
 
+    # mesh-sharded finetuning (reference: FSDP on finetune/full.py:57-58,
+    # DeepSpeed ZeRO-2 on finetune/adapter.py:55-59 — both collapse into the
+    # ('dp','fsdp','tp') mesh + parallel/specs.py shardings, PEFT trees included)
+    mesh = None
+    if (dp, fsdp, tp) != (1, 1, 1):
+        from lit_llama_ja_tpu.parallel.mesh import make_mesh
+        from lit_llama_ja_tpu.parallel.specs import shard_params
+
+        mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        data_ways = mesh.shape["dp"] * mesh.shape["fsdp"]
+        assert micro_batch_size % data_ways == 0, (
+            f"micro_batch_size={micro_batch_size} must divide over dp*fsdp={data_ways}"
+        )
+        params = shard_params(params, mesh)
+
     grad_accum = max(batch_size // micro_batch_size, 1)
     schedule = cosine_with_warmup(learning_rate, warmup_iters, max_iters, learning_rate / 10)
     opt = make_adamw(schedule, weight_decay=weight_decay)
-    step = jax.jit(
-        make_sft_train_step(
-            config, opt,
-            forward_fn=forward_fn,
-            trainable_pred=trainable_pred,
-            lora_dropout=dropout,
-        ),
-        donate_argnums=(0, 1),
+    base_step = make_sft_train_step(
+        config, opt,
+        forward_fn=forward_fn,
+        trainable_pred=trainable_pred,
+        lora_dropout=dropout,
     )
+    step = jit_train_step(base_step, mesh=mesh, params=params, n_extra_args=1)
     opt_state = init_opt_state(opt, params, trainable_pred=trainable_pred)
 
     train_data = load_sft_dataset(Path(data_dir) / "train.pt")
@@ -171,6 +189,9 @@ def main_full(
     micro_batch_size: int = 4,
     batch_size: int = 128,
     learning_rate: float = 3e-5,
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
 ):
     """Full finetuning on an instruction dataset (reference `finetune/full.py`)."""
     return _finetune_driver(
@@ -178,6 +199,7 @@ def main_full(
         variant="full", learning_rate=learning_rate, weight_decay=0.02,
         micro_batch_size=micro_batch_size, batch_size=batch_size,
         max_iters=max_iters, warmup_iters=100,
+        dp=dp, fsdp=fsdp, tp=tp,
     )
 
 
@@ -192,6 +214,9 @@ def main_lora(
     lora_r: int = 8,
     lora_alpha: int = 16,
     lora_dropout: float = 0.05,
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
 ):
     """LoRA finetuning (reference `finetune/lora.py:27-46` hyperparameters)."""
     return _finetune_driver(
@@ -200,6 +225,7 @@ def main_lora(
         micro_batch_size=micro_batch_size, batch_size=batch_size,
         max_iters=max_iters, warmup_iters=100,
         lora_r=lora_r, lora_alpha=lora_alpha, lora_dropout=lora_dropout,
+        dp=dp, fsdp=fsdp, tp=tp,
     )
 
 
@@ -211,6 +237,9 @@ def main_adapter(
     micro_batch_size: int = 4,
     batch_size: int = 64,
     learning_rate: float = 9e-3,
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
 ):
     """Adapter v1 finetuning (reference `finetune/adapter.py`)."""
     return _finetune_driver(
@@ -218,6 +247,7 @@ def main_adapter(
         variant="adapter", learning_rate=learning_rate, weight_decay=0.02,
         micro_batch_size=micro_batch_size, batch_size=batch_size,
         max_iters=max_iters, warmup_iters=2 * (64 // 4),
+        dp=dp, fsdp=fsdp, tp=tp,
     )
 
 
@@ -229,6 +259,9 @@ def main_adapter_v2(
     micro_batch_size: int = 4,
     batch_size: int = 64,
     learning_rate: float = 9e-3,
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
 ):
     """Adapter v2 finetuning (reference `finetune/adapter_v2.py`)."""
     return _finetune_driver(
@@ -236,4 +269,5 @@ def main_adapter_v2(
         variant="adapter_v2", learning_rate=learning_rate, weight_decay=0.02,
         micro_batch_size=micro_batch_size, batch_size=batch_size,
         max_iters=max_iters, warmup_iters=2 * (64 // 4),
+        dp=dp, fsdp=fsdp, tp=tp,
     )

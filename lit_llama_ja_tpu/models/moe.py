@@ -53,11 +53,8 @@ class MoEConfig(LLaMAConfig):
     aux_loss_coef: float = 0.01
     router_z_coef: float = 1e-3
 
-    @classmethod
-    def from_name(cls, name: str, **overrides) -> "MoEConfig":
-        from lit_llama_ja_tpu.core.config import llama_configs
-
-        return cls(**{**llama_configs[name], **overrides})
+    # from_name is inherited: LLaMAConfig.from_name builds via cls(...), so it
+    # already returns MoEConfig here.
 
     def capacity(self, n_tokens: int) -> int:
         """Static per-expert slot count for a batch of ``n_tokens``."""

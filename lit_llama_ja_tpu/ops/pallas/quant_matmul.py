@@ -30,7 +30,7 @@ in-tile group. fp32 accumulation throughout (the Triton kernel's fp32 accumulato
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,18 +64,25 @@ def _qmm4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # NOTE on the unpack variants: "bf16" (default) measured FASTEST at the 7B
-    # GEMV shapes (303 GB/s at (bk 512, bn 2048)); "arith" (mul/floor nibble
-    # split, f32 planes) measured 210 GB/s and "f32dot" OOMs VMEM at wide
+    # NOTE on the unpack variants: "bf16" was round-2's fastest float-operand
+    # unpack (315 GB/s at (bk 512, bn 4096) 7B GEMV shapes); "arith" (mul/floor
+    # nibble split, f32 planes) measured 210 GB/s and "f32dot" OOMs VMEM at wide
     # tiles — f32 unpacked planes double VMEM traffic and halve VPU lanes.
     # "arith_bf16" (the split at bf16 lane rate) never finishes compiling on
-    # this Mosaic toolchain (bf16 floor pathology). All stay selectable for
-    # future toolchains (tools/bench_gemv_sweep.py --unpack). int8 streams
-    # 438 GB/s in the same harness, so int4 decode is unpack-compute-bound,
-    # not HBM-bound: a cheaper unpack is the remaining single-stream headroom
-    # (~×1.35) if Mosaic ever grows u8→bf16 casts.
+    # this Mosaic toolchain (bf16 floor pathology). "int8dot" (round 3) skips
+    # float conversion of the weights entirely: nibbles zero-centered to int8,
+    # activations dynamically quantized per (row, k-group) to int8 in-kernel,
+    # int8×int8→int32 MXU dot — W4A8 numerics (~1e-3 relative activation
+    # rounding), selectable per call; decode defaults to it (see
+    # quant_matmul_int4). All variants stay selectable for future toolchains
+    # (tools/bench_gemv_sweep.py --unpack).
     w32 = w_ref[:].astype(jnp.int32)
-    if unpack == "arith_bf16":
+    if unpack == "int8dot":
+        # zero-center: q' = q - 8 ∈ [-8, 7] fits int8; the asymmetric zero
+        # correction shifts to (z - 8) on the accumulator (see loop below).
+        lo = ((w32 & 0xF) - 8).astype(jnp.int8)
+        hi = ((w32 >> 4) - 8).astype(jnp.int8)
+    elif unpack == "arith_bf16":
         # nibble split in bf16 (2x VPU lane rate vs i32/f32): exact, since
         # bf16 represents 0..255 integers and the mul/floor/sub chain stays
         # on exact values (0.0625 is a power of two).
@@ -103,18 +110,44 @@ def _qmm4_kernel(
     for g in range(groups_per_tile):
         sl = slice(g * sub, (g + 1) * sub)
         gi = k * groups_per_tile + g  # global group row (s/z passed whole)
-        xe_g = xe_ref[:, sl].astype(xdt)
-        xo_g = xo_ref[:, sl].astype(xdt)
-        part = jnp.dot(
-            xe_g, lo[sl], preferred_element_type=jnp.float32
-        ) + jnp.dot(xo_g, hi[sl], preferred_element_type=jnp.float32)
         s_row = s_ref[pl.ds(gi, 1), :]
         z_row = z_ref[pl.ds(gi, 1), :]
-        sx_col = (
-            jnp.sum(xe_g.astype(jnp.float32), axis=1, keepdims=True)
-            + jnp.sum(xo_g.astype(jnp.float32), axis=1, keepdims=True)
-        )
-        part = (part - sx_col * z_row) * s_row
+        if unpack == "int8dot":
+            # Dynamic per-(row, group) activation int8 quantization. The whole
+            # chain — absmax, round, the two int8 dots' correction — is
+            # self-consistent: output == Σ x̂ (q − z) s with x̂ the int8-rounded
+            # activation, so the only error vs exact dequant is activation
+            # rounding (≤ amax/254 per element).
+            xe_f = xe_ref[:, sl].astype(jnp.float32)
+            xo_f = xo_ref[:, sl].astype(jnp.float32)
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(xe_f), axis=1, keepdims=True),
+                jnp.max(jnp.abs(xo_f), axis=1, keepdims=True),
+            )
+            rsx = 127.0 / jnp.maximum(amax, 1e-30)  # finite even for all-zero rows
+            xq_e = jnp.round(xe_f * rsx).astype(jnp.int8)
+            xq_o = jnp.round(xo_f * rsx).astype(jnp.int8)
+            part_i = jnp.dot(
+                xq_e, lo[sl], preferred_element_type=jnp.int32
+            ) + jnp.dot(xq_o, hi[sl], preferred_element_type=jnp.int32)
+            sxq = (
+                jnp.sum(xq_e.astype(jnp.int32), axis=1, keepdims=True)
+                + jnp.sum(xq_o.astype(jnp.int32), axis=1, keepdims=True)
+            ).astype(jnp.float32)
+            part = (part_i.astype(jnp.float32) - sxq * (z_row - 8.0)) * (
+                s_row / rsx
+            )
+        else:
+            xe_g = xe_ref[:, sl].astype(xdt)
+            xo_g = xo_ref[:, sl].astype(xdt)
+            part = jnp.dot(
+                xe_g, lo[sl], preferred_element_type=jnp.float32
+            ) + jnp.dot(xo_g, hi[sl], preferred_element_type=jnp.float32)
+            sx_col = (
+                jnp.sum(xe_g.astype(jnp.float32), axis=1, keepdims=True)
+                + jnp.sum(xo_g.astype(jnp.float32), axis=1, keepdims=True)
+            )
+            part = (part - sx_col * z_row) * s_row
         part_sum = part_sum + part
     acc_ref[:] = acc_ref[:] + part_sum
 
@@ -187,11 +220,12 @@ def quant_matmul_int4(
     zeros: jax.Array,  # (n_groups, N)
     *,
     block_m: int = 256,
-    block_n: int = None,
-    block_k: int = None,  # packed rows per k-tile
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,  # packed rows per k-tile
     out_dtype=None,
     interpret: bool = False,
-    unpack: str = "bf16",  # "bf16" | "f32dot" | "arith" (see _qmm4_kernel)
+    # "bf16" | "f32dot" | "arith" | "arith_bf16" | "int8dot" (see _qmm4_kernel)
+    unpack: str = "bf16",
 ):
     """Fused int4 dequant matmul: ``x @ dequant(qweight)``.
 
@@ -282,8 +316,8 @@ def quant_matmul_int8(
     zeros: jax.Array,
     *,
     block_m: int = 256,
-    block_n: int = None,
-    block_k: int = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
     out_dtype=None,
     interpret: bool = False,
 ):

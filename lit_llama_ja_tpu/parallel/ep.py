@@ -208,6 +208,9 @@ def make_forward_moe_ep(
     return jax.jit(sm)
 
 
+_FWD_EP_CACHE: Dict[tuple, Any] = {}
+
+
 def forward_moe_ep(
     params: Params,
     idx: jax.Array,
@@ -216,10 +219,17 @@ def forward_moe_ep(
     axis: str = "ep",
     capacity: Optional[int] = None,
 ):
-    """Convenience one-shot wrapper over `make_forward_moe_ep`."""
-    return make_forward_moe_ep(config, mesh, params, axis=axis, capacity=capacity)(
-        params, idx
-    )
+    """Convenience wrapper over `make_forward_moe_ep`.
+
+    The built jit(shard_map(...)) is cached on (config, mesh, axis, capacity,
+    param tree structure) so repeated calls don't pay a retrace/compile; for
+    hot loops prefer holding the result of `make_forward_moe_ep` directly."""
+    key = (config, mesh, axis, capacity, jax.tree.structure(params))
+    fwd = _FWD_EP_CACHE.get(key)
+    if fwd is None:
+        fwd = make_forward_moe_ep(config, mesh, params, axis=axis, capacity=capacity)
+        _FWD_EP_CACHE[key] = fwd
+    return fwd(params, idx)
 
 
 def make_moe_train_step_ep(

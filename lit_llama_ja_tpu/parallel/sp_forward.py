@@ -27,7 +27,6 @@ from lit_llama_ja_tpu.ops.rope import apply_rope, build_rope_cache
 from lit_llama_ja_tpu.parallel.sp_attention import sequence_parallel_attention
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def forward_sp(
     params,
     idx: jax.Array,  # (B, T), T divisible by the axis size
@@ -43,7 +42,36 @@ def forward_sp(
     every attention shards its score matrix over ``axis``. ``attn_impl="ring"``
     streams k/v blocks around the ring (O(T/n) per-device attention memory)
     instead of all-gathering them.
+
+    Params handed in resident on a *different* mesh (e.g. a dp×fsdp×tp training
+    mesh) are first `device_put` onto this mesh's specs — a plain ICI copy.
+    Doing it outside jit matters: letting the SPMD partitioner reconcile
+    foreign shardings inside the compiled forward triggers "involuntary full
+    rematerialization" (replicate-then-repartition) on the embedding gather,
+    every call (observed in the round-2 multichip dryrun).
     """
+    from lit_llama_ja_tpu.parallel.specs import param_shardings
+
+    shardings = param_shardings(params, mesh)
+
+    def _foreign(leaf, want):
+        s = getattr(leaf, "sharding", None)
+        return s is None or getattr(s, "mesh", None) != want.mesh
+
+    if any(jax.tree.leaves(jax.tree.map(_foreign, params, shardings))):
+        params = jax.device_put(params, shardings)
+    return _forward_sp_jit(params, idx, config, mesh, axis, attn_impl)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _forward_sp_jit(
+    params,
+    idx: jax.Array,
+    config: LLaMAConfig,
+    mesh: Mesh,
+    axis: str = "tp",
+    attn_impl: str = "allgather",
+) -> jax.Array:
     B, T = idx.shape
     n = mesh.shape[axis]
     assert T % n == 0, f"T={T} must divide over the '{axis}' axis ({n})"

@@ -219,9 +219,12 @@ def init_opt_state(optimizer, params, trainable_pred=None):
     return optimizer.init(params)
 
 
-def jit_train_step(train_step, mesh=None, params=None):
+def jit_train_step(train_step, mesh=None, params=None, n_extra_args=0):
     """jit the step with donated params/opt_state; if a mesh is given, constrain the
-    parameter shardings to `parallel/specs.py` so the step runs FSDP/TP-sharded."""
+    parameter shardings to `parallel/specs.py` so the step runs FSDP/TP-sharded.
+
+    ``n_extra_args`` appends unconstrained trailing arguments (e.g. the SFT
+    step's dropout rng) after (params, opt_state, batch)."""
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0, 1))
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -235,6 +238,6 @@ def jit_train_step(train_step, mesh=None, params=None):
     return jax.jit(
         train_step,
         donate_argnums=(0, 1),
-        in_shardings=(pshard, None, batch_shard),
+        in_shardings=(pshard, None, batch_shard) + (None,) * n_extra_args,
         out_shardings=(pshard, None, None),
     )

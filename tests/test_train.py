@@ -112,6 +112,73 @@ def test_sharded_train_step_matches_unsharded(rng):
     np.testing.assert_allclose(float(loss_ref), float(loss_sharded), atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["full", "lora", "adapter"])
+def test_sharded_sft_step_matches_unsharded(rng, variant):
+    """Mesh-sharded SFT step (dp×fsdp×tp, the reference's FSDP/ZeRO-2
+    finetuning capability: `finetune/full.py:57-58`, `finetune/adapter.py:55-59`)
+    produces the same loss AND updated params as the single-device step — for
+    full, LoRA (trainable-subset partition + lora tree sharding) and adapter
+    (custom forward_fn) variants."""
+    from lit_llama_ja_tpu.train.step import make_sft_train_step
+
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    trainable_pred = None
+    forward_fn = None
+    cfg = CFG
+    if variant == "lora":
+        from lit_llama_ja_tpu.models import lora as lora_mod
+
+        lp = lora_mod.init_lora_params(jax.random.PRNGKey(4), CFG, r=2, alpha=4)
+        params = lora_mod.add_lora(params, lp)
+        trainable_pred = lora_mod.lora_trainable
+    elif variant == "adapter":
+        import dataclasses
+
+        from lit_llama_ja_tpu.models import adapter as adapter_mod
+
+        acfg = adapter_mod.AdapterConfig(
+            **{f.name: getattr(CFG, f.name) for f in dataclasses.fields(CFG)}
+        )
+        ap = adapter_mod.init_adapter_params(jax.random.PRNGKey(4), acfg)
+        params = adapter_mod.add_adapter(params, ap)
+        trainable_pred = adapter_mod.adapter_trainable
+        cfg = acfg
+        forward_fn = lambda p, x: adapter_mod.adapter_forward(p, x, acfg)
+
+    opt = make_adamw(1e-2, weight_decay=0.0)
+    step = make_sft_train_step(
+        cfg, opt, forward_fn=forward_fn, trainable_pred=trainable_pred
+    )
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 4, 9)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 4, 9)), jnp.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    opt_state = init_opt_state(opt, params, trainable_pred=trainable_pred)
+    ref_p, _, ref_loss = jax.jit(step)(
+        jax.tree.map(jnp.copy, params), opt_state, batch, key
+    )
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    sharded = shard_params(params, mesh)
+    sstep = jit_train_step(step, mesh=mesh, params=params, n_extra_args=1)
+    opt_state2 = init_opt_state(opt, sharded, trainable_pred=trainable_pred)
+    new_p, _, loss_sharded = sstep(sharded, opt_state2, batch, key)
+
+    np.testing.assert_allclose(float(ref_loss), float(loss_sharded), atol=1e-5)
+    flat_ref = jax.tree.leaves_with_path(ref_p)
+    flat_new = dict(
+        (jax.tree_util.keystr(kp), v) for kp, v in jax.tree.leaves_with_path(new_p)
+    )
+    for kp, a in flat_ref:
+        b = flat_new[jax.tree_util.keystr(kp)]
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(kp),
+        )
+
+
 def test_train_state_checkpoint_resume_exact(tmp_path, rng):
     """Train 6 steps straight vs train 3 + full-state save/load + 3 more:
     identical parameters (optimizer moments included — the reference's restart

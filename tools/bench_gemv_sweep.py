@@ -101,7 +101,11 @@ def main():
         try:
             sync(f(x0))
         except Exception as e:  # VMEM OOM etc.
-            print(f"bn={bn:5d} bk={bk:5d}: FAILED {type(e).__name__}", flush=True)
+            print(
+                f"bn={bn:5d} bk={bk:5d}: FAILED {type(e).__name__}: "
+                f"{str(e)[:400]}",
+                flush=True,
+            )
             continue
         t0 = time.perf_counter()
         for _ in range(args.iters):
