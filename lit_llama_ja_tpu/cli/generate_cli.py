@@ -29,6 +29,20 @@ def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
         if config is None:
             raise ValueError(f"missing config.json in {path}")
     else:
+        if quantize is not None:
+            # constant-memory quantized load: quantize per layer WHILE
+            # streaming out of the mmap'd .pth (io/convert.py) — the fp model
+            # never materializes in host RAM (reference purpose:
+            # `lit_llama/utils.py:105-194`)
+            if quantize.startswith("gptq"):
+                print(
+                    "warning: quantizing round-to-nearest at load; run "
+                    "quantize/gptq.py for calibrated weights",
+                    file=sys.stderr,
+                )
+            params, config = load_lit_checkpoint(path, quantize=quantize)
+            params = jax.tree.map(jnp.asarray, params)
+            return params, config
         params, config = load_lit_checkpoint(path)
         params = jax.tree.map(jnp.asarray, params)
 
@@ -78,6 +92,8 @@ def main(
     quantize: Optional[str] = None,
     draft_checkpoint_path: Optional[str] = None,
     draft_k: int = 4,
+    tp: int = 1,
+    fsdp: int = 1,
     seed: int = 1234,
 ) -> None:
     """Generates text samples based on a pre-trained LLaMA model and tokenizer.
@@ -97,6 +113,9 @@ def main(
             decoding: `infer/speculative.py` — exact target distribution, up to
             draft_k+1 tokens per target forward.
         draft_k: drafted tokens per speculative round.
+        tp / fsdp: shard the weights over a ('dp','fsdp','tp') mesh
+            (col/row-parallel per `parallel/specs.py`); the decode loop is
+            sharding-oblivious.
         seed: PRNG seed.
     """
     from lit_llama_ja_tpu.infer.generate import generate
@@ -108,6 +127,18 @@ def main(
     draft = None
     if draft_checkpoint_path:
         draft = load_model_any(Path(draft_checkpoint_path), None)
+    if tp > 1 or fsdp > 1:
+        from lit_llama_ja_tpu.parallel.mesh import make_mesh
+        from lit_llama_ja_tpu.parallel.specs import shard_params
+
+        mesh = make_mesh(dp=1, fsdp=fsdp, tp=tp)
+        print(
+            f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+            file=sys.stderr,
+        )
+        params = shard_params(params, mesh)
+        if draft is not None:
+            draft = (shard_params(draft[0], mesh), draft[1])
     print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
 
     tok_path = Path(tokenizer_path)

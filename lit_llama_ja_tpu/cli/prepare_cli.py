@@ -191,8 +191,12 @@ def prepare_any_text(
     destination_path: str = "data/any-packed",
     chunk_size: int = 2049 * 512,
     glob_pattern: str = "*.txt",
+    prefix: str = "any",
 ) -> None:
-    """Line-based text files -> packed chunks (reference `scripts/prepare_any_text.py`)."""
+    """Line-based text files -> packed chunks (reference `scripts/prepare_any_text.py`).
+
+    ``prefix`` names the output chunk files (so `pretrain --train-prefixes`
+    can select them)."""
     from lit_llama_ja_tpu.data.packed_dataset import PackedDatasetBuilder
 
     src = Path(source_path)
@@ -201,7 +205,7 @@ def prepare_any_text(
     tokenizer = _tokenizer(tokenizer_path)
 
     builder = PackedDatasetBuilder(
-        outdir=str(dest), prefix="any", chunk_size=chunk_size,
+        outdir=str(dest), prefix=prefix, chunk_size=chunk_size,
         sep_token=tokenizer.bos_id, dtype="auto", vocab_size=tokenizer.vocab_size,
     )
     files = sorted(src.glob(glob_pattern))

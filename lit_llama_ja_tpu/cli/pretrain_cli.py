@@ -87,6 +87,8 @@ def main(
     seed: int = 1337,
     moe_experts: int = 0,
     moe_topk: int = 2,
+    train_prefixes: Optional[str] = None,
+    val_prefixes: Optional[str] = None,
 ) -> None:
     """Pretrain LLaMA on packed datasets (reference `pretrain/redpajama.py:97-189`).
 
@@ -126,6 +128,13 @@ def main(
     from lit_llama_ja_tpu.parallel.mesh import maybe_init_distributed
 
     maybe_init_distributed()
+    # comma-separated chunk-file prefix overrides (equal mixture weights) for
+    # corpora prepared outside the ja mixture, e.g. prepare_any_text --prefix
+    global train_data_config, val_data_config
+    if train_prefixes:
+        train_data_config = [(px.strip(), 1.0) for px in train_prefixes.split(",")]
+    if val_prefixes:
+        val_data_config = [(px.strip(), 1.0) for px in val_prefixes.split(",")]
     if moe_experts:
         from lit_llama_ja_tpu.models.moe import MoEConfig
 

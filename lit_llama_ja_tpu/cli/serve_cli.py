@@ -34,6 +34,8 @@ def main(
     draft_tree: str = "",
     pp_stages: int = 0,
     pp_microbatches: int = 0,
+    tp: int = 1,
+    fsdp: int = 1,
     seed: int = 1234,
 ) -> None:
     """Serve a batch of prompts with continuous batching.
@@ -68,6 +70,11 @@ def main(
             for models beyond one host's HBM. 0 = single-mesh.
         pp_microbatches: decode wavefront width (defaults to pp_stages;
             must divide max_batch).
+        tp / fsdp: shard the weights over a ('dp','fsdp','tp') mesh before
+            serving (col/row-parallel per `parallel/specs.py`, quantized
+            leaves included); the engines are sharding-oblivious. Not yet
+            composable with --pp-stages (pp shards the layer axis on its own
+            mesh; in-stage tp for serving is an open item).
     """
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
     from lit_llama_ja_tpu.infer.paged import PagedEngine
@@ -75,6 +82,22 @@ def main(
     from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
 
     params, config = load_model_any(Path(checkpoint_path), quantize)
+    if tp > 1 or fsdp > 1:
+        if pp_stages:
+            raise SystemExit(
+                "--tp/--fsdp cannot combine with --pp-stages yet: pipeline "
+                "serving shards the layer axis on a dedicated 'pp' mesh "
+                "(parallel/pp_decode.py) without in-stage tensor parallelism"
+            )
+        from lit_llama_ja_tpu.parallel.mesh import make_mesh
+        from lit_llama_ja_tpu.parallel.specs import shard_params
+
+        mesh = make_mesh(dp=1, fsdp=fsdp, tp=tp)
+        print(
+            f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+            file=sys.stderr,
+        )
+        params = shard_params(params, mesh)
     tok_path = Path(tokenizer_path)
     tokenizer = (
         Tokenizer(tok_path) if tok_path.suffix == ".model" else HFTokenizer(tok_path)

@@ -56,7 +56,16 @@ def perplexity(
 
 def load_eval_dataset(name: str, tokenizer, split: str = "test") -> np.ndarray:
     """Load and tokenize an eval corpus (reference `evaluate/full.py:23-43`):
-    wikitext-2 / ptb / c4 via HF datasets (requires network; tests use local text)."""
+    wikitext-2 / ptb / c4 via HF datasets (requires network), or — the
+    local-file option — a path to a text file (absolute, relative, or ending
+    in ``.txt``), read directly so the full eval pipeline runs offline."""
+    import os
+
+    if name.endswith(".txt") or os.path.exists(name):
+        with open(name, encoding="utf-8") as f:
+            text = f.read()
+        return tokenizer.encode(text, bos=True, eos=False)
+
     from datasets import load_dataset
 
     if name == "wikitext":

@@ -38,7 +38,8 @@ def _np(t) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def lit_state_dict_to_native(
-    sd: Dict, config: Optional[LLaMAConfig] = None, dtype=np.float32
+    sd: Dict, config: Optional[LLaMAConfig] = None, dtype=np.float32,
+    quantize: Optional[str] = None,
 ):
     """Flat lit-llama torch state dict -> this framework's stacked param tree.
 
@@ -46,12 +47,40 @@ def lit_state_dict_to_native(
     Per-layer `transformer.h.{i}.*` tensors stack on a leading layer axis.
     Each tensor converts to ``dtype`` as it is read (from an mmap'd load this keeps
     peak host memory at ~one model copy in the target dtype).
-    """
+
+    ``quantize`` in {"llm.int8", "gptq.int4", "gptq.int8"} quantizes each
+    Linear PER LAYER while streaming out of the (mmap'd) state dict, so the
+    full-precision model never exists in host RAM at once — peak extra memory
+    is one layer's fp weight (the reference achieves this with the
+    `EmptyInitOnDevice`/`quantization()` constructor swap,
+    `lit_llama/utils.py:105-194`; here quantized trees are data, so the swap
+    happens in the converter). gptq.* uses RTN levels (run quantize/gptq.py
+    for calibrated ones)."""
     _cast = lambda a: _np(a).astype(dtype, copy=False)
     if config is None:
         n_embd = _np(sd["transformer.wte.weight"]).shape[1]
         config = LLaMAConfig.from_name(llama_model_lookup(n_embd))
     L = config.n_layer
+
+    qlin = None
+    if quantize is not None:
+        import jax
+
+        from lit_llama_ja_tpu.quant.linear import (
+            quantize_colblock,
+            quantize_int8_absmax,
+        )
+
+        if quantize == "llm.int8":
+            _qfn = quantize_int8_absmax
+        elif quantize in ("gptq.int4", "gptq.int8"):
+            bits = 4 if quantize.endswith("int4") else 8
+            _qfn = lambda w: quantize_colblock(w, bits=bits)
+        else:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+
+        def qlin(w2d: np.ndarray):
+            return jax.tree.map(np.asarray, _qfn(np.asarray(w2d)))
 
     def pad_vocab(w: np.ndarray) -> np.ndarray:
         # zero-pad rows up to padded_vocab_size (HF checkpoints ship unpadded)
@@ -65,27 +94,35 @@ def lit_state_dict_to_native(
     def layer(i, key):
         return _cast(sd[f"transformer.h.{i}.{key}"])
 
-    def stack_w(key):  # transposed linear weights
-        return np.stack([layer(i, key).T for i in range(L)])
+    def stack_w(key):  # transposed linear weights (quantized per-layer if asked)
+        if qlin is None:
+            return {"weight": np.stack([layer(i, key).T for i in range(L)])}
+        per_layer = [qlin(layer(i, key).T) for i in range(L)]
+        return {
+            k: np.stack([q[k] for q in per_layer]) for k in per_layer[0]
+        }
 
     def stack_v(key):  # 1-D scales
         return np.stack([layer(i, key) for i in range(L)])
 
+    def head(w2d: np.ndarray):
+        return {"weight": w2d} if qlin is None else qlin(w2d)
+
     return {
         "wte": {"weight": pad_vocab(_cast(sd["transformer.wte.weight"]))},
-        "lm_head": {"weight": pad_vocab(_cast(sd["lm_head.weight"])).T},
+        "lm_head": head(pad_vocab(_cast(sd["lm_head.weight"])).T),
         "ln_f": {"scale": _cast(sd["transformer.ln_f.scale"])},
         "blocks": {
             "rms_1": {"scale": stack_v("rms_1.scale")},
             "attn": {
-                "c_attn": {"weight": stack_w("attn.c_attn.weight")},
-                "c_proj": {"weight": stack_w("attn.c_proj.weight")},
+                "c_attn": stack_w("attn.c_attn.weight"),
+                "c_proj": stack_w("attn.c_proj.weight"),
             },
             "rms_2": {"scale": stack_v("rms_2.scale")},
             "mlp": {
-                "c_fc1": {"weight": stack_w("mlp.c_fc1.weight")},
-                "c_fc2": {"weight": stack_w("mlp.c_fc2.weight")},
-                "c_proj": {"weight": stack_w("mlp.c_proj.weight")},
+                "c_fc1": stack_w("mlp.c_fc1.weight"),
+                "c_fc2": stack_w("mlp.c_fc2.weight"),
+                "c_proj": stack_w("mlp.c_proj.weight"),
             },
         },
     }, config
@@ -122,18 +159,22 @@ def native_to_lit_state_dict(params) -> Dict[str, np.ndarray]:
 
 
 def load_lit_checkpoint(
-    path, config: Optional[LLaMAConfig] = None, dtype=np.float32
+    path, config: Optional[LLaMAConfig] = None, dtype=np.float32,
+    quantize: Optional[str] = None,
 ):
     """Load a reference lit-llama `.pth` (mmap'd — constant host memory, the
     `lazy_load` capability of `lit_llama/utils.py:200-376`).
 
     ``dtype``: target numpy dtype for the converted tree; converting per-tensor
     while streaming out of the mmap keeps peak host memory at ~one model copy in
-    the target dtype (e.g. float16 halves the 7B footprint vs fp32)."""
+    the target dtype (e.g. float16 halves the 7B footprint vs fp32).
+    ``quantize``: quantize Linears per layer DURING streaming (see
+    `lit_state_dict_to_native`) — peak host RSS ≈ the packed size, not the fp
+    model (a 7B llm.int8 load stays ~7 GB instead of ~28 GB fp32)."""
     import torch
 
     sd = torch.load(str(path), map_location="cpu", mmap=True, weights_only=True)
-    return lit_state_dict_to_native(sd, config, dtype=dtype)
+    return lit_state_dict_to_native(sd, config, dtype=dtype, quantize=quantize)
 
 
 # ---------------------------------------------------------------------------

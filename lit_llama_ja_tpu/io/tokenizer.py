@@ -97,6 +97,31 @@ class HFTokenizer:
     def decode(self, tokens) -> str:
         return self.processor.decode(np.asarray(tokens).tolist())
 
+    @staticmethod
+    def train(input: str, destination: str, vocab_size: int = 35000) -> str:
+        """Train a byte-level-BPE tokenizer.json with the ja-fork id layout
+        (<PAD>=0, <BOS>=1, <EOS>=2 — `lit_llama/tokenizer.py:59-61`).
+
+        Counterpart of `Tokenizer.train` (reference `tokenizer.py:46-49`) for
+        the HF backend the ja fork actually generates with; lets the full
+        prepare→pretrain→evaluate pipeline run without sentencepiece.
+        Returns the written tokenizer.json path."""
+        from tokenizers import Tokenizer as _HFTok
+        from tokenizers import decoders, models, pre_tokenizers, trainers
+
+        tok = _HFTok(models.BPE(unk_token=None))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+        trainer = trainers.BpeTrainer(
+            vocab_size=vocab_size,
+            special_tokens=["<PAD>", "<BOS>", "<EOS>"],  # ids 0/1/2
+            show_progress=False,
+        )
+        tok.train([str(input)], trainer)
+        out = os.path.join(str(destination), "tokenizer.json")
+        tok.save(out)
+        return out
+
 
 def _finalize(tokens, bos_id, eos_id, pad_id, bos, eos, max_length, pad) -> np.ndarray:
     if bos:

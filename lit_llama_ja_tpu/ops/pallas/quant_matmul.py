@@ -76,8 +76,47 @@ def _qmm4_kernel(
     # rounding), selectable per call; decode defaults to it (see
     # quant_matmul_int4). All variants stay selectable for future toolchains
     # (tools/bench_gemv_sweep.py --unpack).
-    w32 = w_ref[:].astype(jnp.int32)
-    if unpack == "int8dot":
+    if unpack == "int8dot_u8":
+        # mask/shift directly on uint8 vregs (packed-lane rate, no i32
+        # expansion of the weight tile anywhere); nibbles 0..15 fit int8 as-is
+        # so no zero-centering is needed (zshift=0 below).
+        # NOTE: sub-32-bit SHIFTS do not compile on this Mosaic toolchain
+        # (probe: /tmp-style op sweep, round 3) — this variant is kept for
+        # future toolchains; "bf16_u8" below is the shift-free formulation.
+        w8 = w_ref[:]
+        lo = (w8 & jnp.uint8(0xF)).astype(jnp.int8)
+        hi = (w8 >> jnp.uint8(4)).astype(jnp.int8)
+        w32 = None
+    elif unpack == "int8dot_and":
+        # The production W4A8 unpack (round-3 probe winner direction,
+        # tools/bench_unpack_probe.py): int8 MXU operands halve VMEM→MXU
+        # operand traffic vs bf16 and measured FASTER than even a one-dot
+        # bf16 probe. lo extracts with a single uint8 AND (packed-lane rate,
+        # no expansion); hi needs the one i32 shift this toolchain admits
+        # (sub-32-bit shifts crash Mosaic; u8→i8 wrap of (w&0xF0) is wrong).
+        w8 = w_ref[:]
+        lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int8)
+        hi = (w8.astype(jnp.int32) >> 4).astype(jnp.int8)
+        w32 = None
+    elif unpack == "bf16_u8":
+        # Shift-free narrow-width unpack (round 3; the fastest formulation the
+        # toolchain admits). Per byte: two uint8 ANDs (packed-lane rate) and
+        # u8→i16→bf16 casts — no i32 lane expansion, no shift, no f32 plane.
+        #   lo  = b & 0x0F            (exact in bf16)
+        #   h16 = b & 0xF0 = 16·hi    (0..240, exact in bf16)
+        # The missing /16 moves to the tiny activation side: the odd rows are
+        # pre-scaled by 1/16 (exact, power of two) before their dot, so
+        # x_odd/16 @ h16 == x_odd @ hi. The zero correction is unchanged (it
+        # uses the unscaled activation row-sums).
+        w8 = w_ref[:]
+        lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int16).astype(jnp.bfloat16)
+        hi = (w8 & jnp.uint8(0xF0)).astype(jnp.int16).astype(jnp.bfloat16)
+        w32 = None
+    else:
+        w32 = w_ref[:].astype(jnp.int32)
+    if unpack in ("int8dot_u8", "int8dot_and", "bf16_u8"):
+        pass
+    elif unpack == "int8dot":
         # zero-center: q' = q - 8 ∈ [-8, 7] fits int8; the asymmetric zero
         # correction shifts to (z - 8) on the accumulator (see loop below).
         lo = ((w32 & 0xF) - 8).astype(jnp.int8)
@@ -112,7 +151,7 @@ def _qmm4_kernel(
         gi = k * groups_per_tile + g  # global group row (s/z passed whole)
         s_row = s_ref[pl.ds(gi, 1), :]
         z_row = z_ref[pl.ds(gi, 1), :]
-        if unpack == "int8dot":
+        if unpack in ("int8dot", "int8dot_u8", "int8dot_and"):
             # Dynamic per-(row, group) activation int8 quantization. The whole
             # chain — absmax, round, the two int8 dots' correction — is
             # self-consistent: output == Σ x̂ (q − z) s with x̂ the int8-rounded
@@ -134,15 +173,19 @@ def _qmm4_kernel(
                 jnp.sum(xq_e.astype(jnp.int32), axis=1, keepdims=True)
                 + jnp.sum(xq_o.astype(jnp.int32), axis=1, keepdims=True)
             ).astype(jnp.float32)
-            part = (part_i.astype(jnp.float32) - sxq * (z_row - 8.0)) * (
+            zshift = 8.0 if unpack == "int8dot" else 0.0
+            part = (part_i.astype(jnp.float32) - sxq * (z_row - zshift)) * (
                 s_row / rsx
             )
         else:
             xe_g = xe_ref[:, sl].astype(xdt)
             xo_g = xo_ref[:, sl].astype(xdt)
+            # bf16_u8 stores 16·hi; fold the 1/16 into the (tiny) odd
+            # activation rows so the weight plane needs no per-element scaling
+            xo_dot = xo_g * xdt.type(0.0625) if unpack == "bf16_u8" else xo_g
             part = jnp.dot(
                 xe_g, lo[sl], preferred_element_type=jnp.float32
-            ) + jnp.dot(xo_g, hi[sl], preferred_element_type=jnp.float32)
+            ) + jnp.dot(xo_dot, hi[sl], preferred_element_type=jnp.float32)
             sx_col = (
                 jnp.sum(xe_g.astype(jnp.float32), axis=1, keepdims=True)
                 + jnp.sum(xo_g.astype(jnp.float32), axis=1, keepdims=True)

@@ -226,3 +226,42 @@ def test_native_to_hf_logit_parity(rng):
     np.testing.assert_allclose(
         ours[..., : cfg.vocab_size], hf_logits, atol=2e-4, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("mode", ["llm.int8", "gptq.int4"])
+def test_streaming_quantized_load_matches_posthoc(rng, mode):
+    """Quantizing per layer WHILE streaming the state dict (constant-memory
+    load, reference purpose `lit_llama/utils.py:105-194`) produces bit-identical
+    leaves to materialize-then-quantize."""
+    params = init_params(jax.random.PRNGKey(2), CFG)
+    sd = native_to_lit_state_dict(params)
+
+    streamed, _ = lit_state_dict_to_native(sd, CFG, quantize=mode)
+
+    full, _ = lit_state_dict_to_native(sd, CFG)
+    if mode == "llm.int8":
+        from lit_llama_ja_tpu.quant.pipeline import int8_quantize_model
+
+        want = int8_quantize_model(jax.tree.map(jnp.asarray, full))
+    else:
+        from lit_llama_ja_tpu.quant.linear import quantize_colblock
+        from lit_llama_ja_tpu.quant.pipeline import SUBMODULES, _get, _set, _to_mutable
+
+        want = _to_mutable(jax.tree.map(jnp.asarray, full))
+        for name in SUBMODULES:
+            leaf = _get(want["blocks"], name)
+            w = leaf["weight"]
+            qs = [quantize_colblock(w[l], bits=4) for l in range(w.shape[0])]
+            _set(want["blocks"], name, dict(jax.tree.map(lambda *xs: jnp.stack(xs), *qs)))
+        want["lm_head"] = dict(quantize_colblock(want["lm_head"]["weight"], bits=4))
+
+    flat_s = jax.tree.leaves_with_path(streamed)
+    flat_w = dict(
+        (jax.tree_util.keystr(kp), v) for kp, v in jax.tree.leaves_with_path(want)
+    )
+    assert len(flat_s) == len(flat_w)
+    for kp, a in flat_s:
+        b = flat_w[jax.tree_util.keystr(kp)]
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(kp)
+        )

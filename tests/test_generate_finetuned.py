@@ -98,3 +98,56 @@ def test_generate_quantized_cli(artifacts, capsys):
         quantize="llm.int8",
     )
     assert capsys.readouterr().out is not None
+
+
+def test_generate_sharded_cli(artifacts, capsys):
+    """--tp/--fsdp tensor-sharded generation through the CLI path matches the
+    single-device greedy tokens exactly (8-device virtual mesh)."""
+    from lit_llama_ja_tpu.cli.generate_cli import main
+
+    kw = dict(
+        prompt="hello world",
+        num_samples=1,
+        max_new_tokens=5,
+        temperature=0.0,
+        checkpoint_path=str(artifacts / "base"),
+        tokenizer_path=str(artifacts / "tokenizer.json"),
+    )
+    main(**kw)
+    want = capsys.readouterr().out
+    main(**kw, tp=4, fsdp=2)
+    got = capsys.readouterr().out
+    assert got == want
+
+
+def test_serve_sharded_cli(artifacts, capsys):
+    """--tp/--fsdp through the serving CLI (paged engine) runs and prints
+    per-request outputs identical to the single-device engine."""
+    from lit_llama_ja_tpu.cli.serve_cli import main
+
+    kw = dict(
+        prompt="hello world",
+        n_requests=2,
+        max_new_tokens=4,
+        max_batch=2,
+        temperature=0.0,
+        checkpoint_path=str(artifacts / "base"),
+        tokenizer_path=str(artifacts / "tokenizer.json"),
+        max_seq_length=64,
+    )
+    main(**kw)
+    want = capsys.readouterr().out
+    main(**kw, tp=4, fsdp=2)
+    got = capsys.readouterr().out
+    assert got == want
+
+
+def test_serve_tp_pp_conflict(artifacts):
+    from lit_llama_ja_tpu.cli.serve_cli import main
+
+    with pytest.raises(SystemExit):
+        main(
+            checkpoint_path=str(artifacts / "base"),
+            tokenizer_path=str(artifacts / "tokenizer.json"),
+            tp=2, pp_stages=2,
+        )

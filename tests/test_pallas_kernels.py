@@ -83,7 +83,7 @@ def test_int4_kernel_ragged_n(rng):
     np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 2e-2)
 
 
-@pytest.mark.parametrize("unpack", ["bf16", "f32dot", "arith", "arith_bf16"])
+@pytest.mark.parametrize("unpack", ["bf16", "f32dot", "arith", "arith_bf16", "bf16_u8"])
 def test_int4_unpack_variants_match(rng, unpack):
     """All in-kernel nibble-unpack strategies are numerically equivalent
     (arith variants rely on bf16/f32 representing 0..255 exactly)."""
