@@ -70,17 +70,45 @@ def weight_bytes_per_token(config: LLaMAConfig) -> float:
     return L * per_layer + (D * V) / 2 + V * D * 2  # + lm_head int4 + wte bf16 row gather (negligible)
 
 
-def main():
-    model = "7B"
-    batch = 1
-    seq = 2048
-    decode_steps = 32
+def synth_int8_params(config: LLaMAConfig, key):
+    """Random int8 weight-only params (qweight int8 (K, N) + absmax scales)."""
+    L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
+    ks = iter(jax.random.split(key, 16))
 
-    config = LLaMAConfig.from_name(model)
-    params = synth_int4_params(config, jax.random.PRNGKey(0))
-    # north-star config: int4 weights + INT8-quantized KV cache
+    def qlin(k, kin, nout):
+        return {
+            "qweight": jax.random.randint(k, (kin, nout), -127, 128, jnp.int32).astype(jnp.int8),
+            "scales": jnp.full((1, nout), 0.01, jnp.float32),
+            "zeros": jnp.zeros((1, nout), jnp.float32),
+        }
+
+    def qlin_stack(k, kin, nout):
+        lin = qlin(k, kin, nout)
+        return jax.tree.map(lambda a: jnp.broadcast_to(a[None], (L, *a.shape)), lin)
+
+    std = 0.02
+    return {
+        "wte": {"weight": (jax.random.normal(next(ks), (V, D), jnp.bfloat16) * std)},
+        "lm_head": qlin(next(ks), D, V),
+        "ln_f": {"scale": jnp.ones((D,), jnp.bfloat16)},
+        "blocks": {
+            "rms_1": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "attn": {
+                "c_attn": qlin_stack(next(ks), D, 3 * D),
+                "c_proj": qlin_stack(next(ks), D, D),
+            },
+            "rms_2": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "mlp": {
+                "c_fc1": qlin_stack(next(ks), D, H),
+                "c_fc2": qlin_stack(next(ks), D, H),
+                "c_proj": qlin_stack(next(ks), H, D),
+            },
+        },
+    }
+
+
+def measure_decode(params, config, batch, seq, decode_steps):
     cache = init_kv_cache(config, batch, seq, quantized=True)
-
     tok = jnp.zeros((batch, 1), jnp.int32)
 
     def step(params, cache, tok, pos):
@@ -102,9 +130,37 @@ def main():
     for i in range(decode_steps):
         cache, tok = step(params, cache, tok, jnp.array([17 + i], jnp.int32))
     _ = np.asarray(tok)
-    dt = time.perf_counter() - t0
+    return batch * decode_steps / (time.perf_counter() - t0)
 
-    toks_per_s = batch * decode_steps / dt
+
+def main():
+    model = "7B"
+    batch = 1
+    seq = 2048
+    decode_steps = 32
+
+    config = LLaMAConfig.from_name(model)
+    params = synth_int4_params(config, jax.random.PRNGKey(0))
+    # north-star config: int4 weights + INT8-quantized KV cache
+    toks_per_s = measure_decode(params, config, batch, seq, decode_steps)
+    del params
+
+    # int8 weight-only single-stream comparison point (stderr — the driver
+    # parses the single stdout JSON line below): twice the weight bytes, so
+    # a correctly bandwidth-bound int4 path must beat it single-stream.
+    params8 = synth_int8_params(config, jax.random.PRNGKey(1))
+    toks_int8 = measure_decode(params8, config, batch, seq, decode_steps)
+    print(
+        json.dumps(
+            {
+                "metric": f"llama-{model}-llm.int8-decode-tokens/s/chip",
+                "value": round(toks_int8, 2),
+                "unit": "tokens/s",
+            }
+        ),
+        file=sys.stderr,
+    )
+
     roofline = HBM_GBPS * 1e9 / weight_bytes_per_token(config)
     print(
         json.dumps(

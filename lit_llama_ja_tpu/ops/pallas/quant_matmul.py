@@ -64,83 +64,72 @@ def _qmm4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # NOTE on the unpack variants: "bf16" was round-2's fastest float-operand
-    # unpack (315 GB/s at (bk 512, bn 4096) 7B GEMV shapes); "arith" (mul/floor
-    # nibble split, f32 planes) measured 210 GB/s and "f32dot" OOMs VMEM at wide
-    # tiles — f32 unpacked planes double VMEM traffic and halve VPU lanes.
-    # "arith_bf16" (the split at bf16 lane rate) never finishes compiling on
-    # this Mosaic toolchain (bf16 floor pathology). "int8dot" (round 3) skips
-    # float conversion of the weights entirely: nibbles zero-centered to int8,
-    # activations dynamically quantized per (row, k-group) to int8 in-kernel,
-    # int8×int8→int32 MXU dot — W4A8 numerics (~1e-3 relative activation
-    # rounding), selectable per call; decode defaults to it (see
-    # quant_matmul_int4). All variants stay selectable for future toolchains
-    # (tools/bench_gemv_sweep.py --unpack).
-    if unpack == "int8dot_u8":
-        # mask/shift directly on uint8 vregs (packed-lane rate, no i32
-        # expansion of the weight tile anywhere); nibbles 0..15 fit int8 as-is
-        # so no zero-centering is needed (zshift=0 below).
-        # NOTE: sub-32-bit SHIFTS do not compile on this Mosaic toolchain
-        # (probe: /tmp-style op sweep, round 3) — this variant is kept for
-        # future toolchains; "bf16_u8" below is the shift-free formulation.
+    # Byte layout (see quant/linear.py::pack_int4): low nibble = plain even-row
+    # level q_lo ∈ [0,15]; high nibble = odd-row level two's-complement biased,
+    # (q_hi − 8) & 0xF — chosen so (byte & 0xF0).astype(int8) == 16·(q_hi − 8)
+    # EXACTLY on-device, enabling a shift-free int8-operand unpack.
+    #
+    # Variant notes (all measured on v5e, tools/bench_gemv_sweep.py /
+    # bench_unpack_probe.py, round 3):
+    #   "int8dot_bias" — the decode default. Two uint8 ANDs + two u8→i8 casts
+    #     per byte (no shift, no i32 expansion); int8×int8→int32 MXU dots
+    #     (half the VMEM→MXU operand bytes of bf16); activations dynamically
+    #     int8-quantized per (row, k-group) in-kernel → W4A8 numerics
+    #     (~1e-3 relative activation rounding).
+    #   "bf16" — exact-numerics float path (prefill default): i32 mask/shift
+    #     + f32→bf16 casts, 315.7 GB/s at the 7B GEMV shapes.
+    #   "bf16_u8" — exact shift-free float path (u8 ANDs + i16→bf16 casts),
+    #     325.6 GB/s; the /16 of the biased-hi plane folds into the odd
+    #     activation rows.
+    #   "int8dot" — W4A8 with both nibbles centered via i32 ops, 296.5 GB/s.
+    #   "arith"/"arith_bf16"/"f32dot" — round-1/2 historical variants (slow /
+    #     OOM / Mosaic-hang respectively), kept for future toolchains.
+    if unpack == "int8dot_bias":
         w8 = w_ref[:]
-        lo = (w8 & jnp.uint8(0xF)).astype(jnp.int8)
-        hi = (w8 >> jnp.uint8(4)).astype(jnp.int8)
-        w32 = None
-    elif unpack == "int8dot_and":
-        # The production W4A8 unpack (round-3 probe winner direction,
-        # tools/bench_unpack_probe.py): int8 MXU operands halve VMEM→MXU
-        # operand traffic vs bf16 and measured FASTER than even a one-dot
-        # bf16 probe. lo extracts with a single uint8 AND (packed-lane rate,
-        # no expansion); hi needs the one i32 shift this toolchain admits
-        # (sub-32-bit shifts crash Mosaic; u8→i8 wrap of (w&0xF0) is wrong).
-        w8 = w_ref[:]
-        lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int8)
-        hi = (w8.astype(jnp.int32) >> 4).astype(jnp.int8)
+        lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int8)  # q_lo, plain
+        hi = (w8 & jnp.uint8(0xF0)).astype(jnp.int8)  # 16·(q_hi − 8), exact
         w32 = None
     elif unpack == "bf16_u8":
-        # Shift-free narrow-width unpack (round 3; the fastest formulation the
-        # toolchain admits). Per byte: two uint8 ANDs (packed-lane rate) and
-        # u8→i16→bf16 casts — no i32 lane expansion, no shift, no f32 plane.
-        #   lo  = b & 0x0F            (exact in bf16)
-        #   h16 = b & 0xF0 = 16·hi    (0..240, exact in bf16)
-        # The missing /16 moves to the tiny activation side: the odd rows are
-        # pre-scaled by 1/16 (exact, power of two) before their dot, so
-        # x_odd/16 @ h16 == x_odd @ hi. The zero correction is unchanged (it
-        # uses the unscaled activation row-sums).
         w8 = w_ref[:]
         lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int16).astype(jnp.bfloat16)
-        hi = (w8 & jnp.uint8(0xF0)).astype(jnp.int16).astype(jnp.bfloat16)
+        # 16·(q_hi − 8) needs the signed i8 read first (u8 read would give the
+        # raw biased bits 0..240); i8→i16→bf16 are all supported casts.
+        hi = (
+            (w8 & jnp.uint8(0xF0)).astype(jnp.int8).astype(jnp.int16)
+            .astype(jnp.bfloat16)
+        )
         w32 = None
     else:
         w32 = w_ref[:].astype(jnp.int32)
-    if unpack in ("int8dot_u8", "int8dot_and", "bf16_u8"):
+    if unpack in ("int8dot_bias", "bf16_u8"):
         pass
     elif unpack == "int8dot":
-        # zero-center: q' = q - 8 ∈ [-8, 7] fits int8; the asymmetric zero
-        # correction shifts to (z - 8) on the accumulator (see loop below).
+        # both nibbles zero-centered to [-8, 7] int8; the stored high nibble
+        # IS (q_hi − 8) mod 16, so sign-extend it: v = ((n ^ 8) − 8)
         lo = ((w32 & 0xF) - 8).astype(jnp.int8)
-        hi = ((w32 >> 4) - 8).astype(jnp.int8)
+        hi = ((((w32 >> 4) & 0xF) ^ 8) - 8).astype(jnp.int8)
     elif unpack == "arith_bf16":
         # nibble split in bf16 (2x VPU lane rate vs i32/f32): exact, since
         # bf16 represents 0..255 integers and the mul/floor/sub chain stays
         # on exact values (0.0625 is a power of two).
         c = w32.astype(jnp.float32).astype(jnp.bfloat16)
-        hi = jnp.floor(c * jnp.bfloat16(0.0625))
-        lo = c - hi * jnp.bfloat16(16.0)
+        hb = jnp.floor(c * jnp.bfloat16(0.0625))  # stored biased nibble
+        lo = c - hb * jnp.bfloat16(16.0)
+        hi = jnp.where(hb >= 8, hb - 8, hb + 8)  # un-bias: (n + 8) mod 16
     elif unpack == "arith":
         # single int→f32 cast; nibble split via mul/floor on the VPU
         c = w32.astype(jnp.float32)
-        hi = jnp.floor(c * 0.0625)
-        lo = c - hi * 16.0
+        hb = jnp.floor(c * 0.0625)
+        lo = c - hb * 16.0
+        hi = jnp.where(hb >= 8, hb - 8, hb + 8)
     elif unpack == "f32dot":
         # skip the bf16 narrowing casts; MXU takes f32 operands (fine at
         # GEMV M — the matmul is nowhere near compute-bound)
         lo = (w32 & 0xF).astype(jnp.float32)
-        hi = (w32 >> 4).astype(jnp.float32)
+        hi = (((w32 >> 4) + 8) & 0xF).astype(jnp.float32)
     else:
         lo = (w32 & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
-        hi = (w32 >> 4).astype(jnp.float32).astype(jnp.bfloat16)
+        hi = ((((w32 >> 4) + 8) & 0xF)).astype(jnp.float32).astype(jnp.bfloat16)
 
     bk = lo.shape[0]
     xdt = lo.dtype  # match operand dtypes for the MXU dot
@@ -151,7 +140,7 @@ def _qmm4_kernel(
         gi = k * groups_per_tile + g  # global group row (s/z passed whole)
         s_row = s_ref[pl.ds(gi, 1), :]
         z_row = z_ref[pl.ds(gi, 1), :]
-        if unpack in ("int8dot", "int8dot_u8", "int8dot_and"):
+        if unpack in ("int8dot", "int8dot_bias"):
             # Dynamic per-(row, group) activation int8 quantization. The whole
             # chain — absmax, round, the two int8 dots' correction — is
             # self-consistent: output == Σ x̂ (q − z) s with x̂ the int8-rounded
@@ -166,31 +155,48 @@ def _qmm4_kernel(
             rsx = 127.0 / jnp.maximum(amax, 1e-30)  # finite even for all-zero rows
             xq_e = jnp.round(xe_f * rsx).astype(jnp.int8)
             xq_o = jnp.round(xo_f * rsx).astype(jnp.int8)
-            part_i = jnp.dot(
-                xq_e, lo[sl], preferred_element_type=jnp.int32
-            ) + jnp.dot(xq_o, hi[sl], preferred_element_type=jnp.int32)
-            sxq = (
-                jnp.sum(xq_e.astype(jnp.int32), axis=1, keepdims=True)
-                + jnp.sum(xq_o.astype(jnp.int32), axis=1, keepdims=True)
-            ).astype(jnp.float32)
-            zshift = 8.0 if unpack == "int8dot" else 0.0
-            part = (part_i.astype(jnp.float32) - sxq * (z_row - zshift)) * (
-                s_row / rsx
+            sxe = jnp.sum(xq_e.astype(jnp.int32), axis=1, keepdims=True).astype(
+                jnp.float32
             )
+            sxo = jnp.sum(xq_o.astype(jnp.int32), axis=1, keepdims=True).astype(
+                jnp.float32
+            )
+            if unpack == "int8dot_bias":
+                # lo holds q_lo (dot D_e), hi holds 16·(q_hi − 8) (dot D_o):
+                #   Σ x̂e(q_lo − z)s + Σ x̂o(q_hi − z)s
+                #     = (D_e + D_o/16 − (sxe + sxo)·z + 8·sxo) · s · sx
+                d_e = jnp.dot(xq_e, lo[sl], preferred_element_type=jnp.int32)
+                d_o = jnp.dot(xq_o, hi[sl], preferred_element_type=jnp.int32)
+                part = (
+                    d_e.astype(jnp.float32)
+                    + d_o.astype(jnp.float32) * 0.0625
+                    - (sxe + sxo) * z_row
+                    + 8.0 * sxo
+                ) * (s_row / rsx)
+            else:
+                # both nibbles centered by −8 → correction uses (z − 8)
+                part_i = jnp.dot(
+                    xq_e, lo[sl], preferred_element_type=jnp.int32
+                ) + jnp.dot(xq_o, hi[sl], preferred_element_type=jnp.int32)
+                part = (
+                    part_i.astype(jnp.float32) - (sxe + sxo) * (z_row - 8.0)
+                ) * (s_row / rsx)
         else:
             xe_g = xe_ref[:, sl].astype(xdt)
             xo_g = xo_ref[:, sl].astype(xdt)
-            # bf16_u8 stores 16·hi; fold the 1/16 into the (tiny) odd
+            # bf16_u8 stores 16·(q_hi − 8); fold the 1/16 into the (tiny) odd
             # activation rows so the weight plane needs no per-element scaling
             xo_dot = xo_g * xdt.type(0.0625) if unpack == "bf16_u8" else xo_g
             part = jnp.dot(
                 xe_g, lo[sl], preferred_element_type=jnp.float32
             ) + jnp.dot(xo_dot, hi[sl], preferred_element_type=jnp.float32)
-            sx_col = (
-                jnp.sum(xe_g.astype(jnp.float32), axis=1, keepdims=True)
-                + jnp.sum(xo_g.astype(jnp.float32), axis=1, keepdims=True)
-            )
-            part = (part - sx_col * z_row) * s_row
+            sxe = jnp.sum(xe_g.astype(jnp.float32), axis=1, keepdims=True)
+            sxo = jnp.sum(xo_g.astype(jnp.float32), axis=1, keepdims=True)
+            if unpack == "bf16_u8":
+                # the hi dot yielded Σ xo (q_hi − 8): add the 8·Σxo back
+                part = (part - (sxe + sxo) * z_row + 8.0 * sxo) * s_row
+            else:
+                part = (part - (sxe + sxo) * z_row) * s_row
         part_sum = part_sum + part
     acc_ref[:] = acc_ref[:] + part_sum
 
@@ -267,8 +273,11 @@ def quant_matmul_int4(
     block_k: Optional[int] = None,  # packed rows per k-tile
     out_dtype=None,
     interpret: bool = False,
-    # "bf16" | "f32dot" | "arith" | "arith_bf16" | "int8dot" (see _qmm4_kernel)
-    unpack: str = "bf16",
+    # None = auto: "int8dot_bias" for decode/GEMV (M ≤ 64; W4A8 — exact int4
+    # weight decode, activations int8-rounded per k-group), "bf16" (exact)
+    # for prefill. Explicit values: "bf16" | "bf16_u8" | "f32dot" | "arith" |
+    # "arith_bf16" | "int8dot" | "int8dot_bias" (see _qmm4_kernel).
+    unpack: Optional[str] = None,
 ):
     """Fused int4 dequant matmul: ``x @ dequant(qweight)``.
 
@@ -288,8 +297,20 @@ def quant_matmul_int4(
 
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    if unpack is None:
+        # decode/GEMV: W4A8 int8-operand unpack, measured 365 GB/s weight
+        # stream vs 317 for the exact-bf16 unpack (tools/bench_gemv_sweep.py,
+        # round 3); prefill keeps exact numerics (MXU-bound there anyway)
+        unpack = "int8dot_bias" if M <= 64 else "bf16"
     if block_n is None:
-        block_n = 4096 if M <= 64 else 512
+        # decode: full-width n tiles (round-3 sweep: bn=N 364.7 GB/s vs
+        # bn=4096 344.4 — one n-tile kills the per-n-tile activation requant
+        # and program overhead; int8 operands keep VMEM in budget at bk=512).
+        # Full width ONLY when it covers all of N in one tile: with an n-grid
+        # the double-buffered 12288-wide tiles blow the 16M scoped-vmem limit
+        # (measured: B=32 lm_head, and the 19M lm_head at tiny K). bk=1024 at
+        # full width also OOMs.
+        block_n = N if (M <= 8 and N <= 12288) else (4096 if M <= 64 else 512)
     if block_k is None:
         block_k = 512 if M <= 64 else 1024
     bm = min(block_m, _round_up(M, 8))
@@ -378,9 +399,11 @@ def quant_matmul_int8(
     # with (bk 512, bn 2048) tiles (437.9 vs 407.5 GB/s at the 7B M=1 shapes,
     # tools/bench_gemv_sweep.py --bits 8); large M keeps the original tiles.
     if block_n is None:
-        block_n = 2048 if M <= 64 else 512
+        # decode: full-width n tiles, same finding as the int4 kernel
+        # (round 3: bn=N bk=256 484.1 GB/s vs round-2's (2048, 512) 437.9)
+        block_n = 12288 if M <= 64 else 512
     if block_k is None:
-        block_k = 512 if M <= 64 else 2048
+        block_k = 256 if M <= 64 else 2048
     bm = min(block_m, _round_up(M, 8))
     bn = min(block_n, N)
     bk, gpt = _plan_tiles(K, n_groups, block_k)

@@ -46,17 +46,27 @@ def infer_bits(qweight: jax.Array, in_features: int) -> int:
 # ---------------------------------------------------------------------------
 
 def pack_int4(q: jax.Array) -> jax.Array:
-    """Pack unsigned 4-bit levels ``(K, N)`` -> uint8 ``(K//2, N)``."""
+    """Pack unsigned 4-bit levels ``(K, N)`` -> uint8 ``(K//2, N)``.
+
+    Byte layout (round 3): the LOW nibble stores the even-row level plain
+    (q ∈ [0,15]); the HIGH nibble stores the odd-row level two's-complement
+    biased, ``(q - 8) & 0xF``. With that bias, on-device
+    ``(byte & 0xF0).astype(int8) == 16·(q_odd − 8)`` EXACTLY — which lets the
+    decode kernel unpack both nibbles with two uint8 ANDs + u8→i8 casts and
+    feed the MXU int8 operands, no shift anywhere (sub-32-bit shifts do not
+    compile on this Mosaic toolchain; see quant_matmul_int4 ``int8dot_bias``
+    and tools/bench_unpack_probe.py)."""
     q = q.astype(jnp.uint8)
     lo = q[0::2]
-    hi = q[1::2]
+    hi = (q[1::2] - jnp.uint8(8)) & jnp.uint8(0xF)
     return lo | (hi << 4)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """uint8 ``(K//2, N)`` -> unsigned levels ``(K, N)`` uint8."""
+    """uint8 ``(K//2, N)`` -> unsigned levels ``(K, N)`` uint8 (inverse of
+    `pack_int4`, including the biased high nibble)."""
     lo = packed & 0xF
-    hi = packed >> 4
+    hi = ((packed >> 4) + 8) & 0xF
     K2, N = packed.shape
     return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
 

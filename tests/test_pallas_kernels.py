@@ -96,6 +96,7 @@ def test_int4_unpack_variants_match(rng, unpack):
         quant_matmul_int4(
             jnp.asarray(x), p["qweight"], p["scales"], p["zeros"],
             block_m=8, block_n=128, interpret=True, out_dtype=jnp.float32,
+            unpack="bf16",  # exact reference (the auto default at small M is W4A8)
         )
     )
     got = np.asarray(
@@ -108,9 +109,10 @@ def test_int4_unpack_variants_match(rng, unpack):
     np.testing.assert_allclose(got, base, atol=np.abs(base).max() * 1e-6)
 
 
+@pytest.mark.parametrize("variant", ["int8dot", "int8dot_bias"])
 @pytest.mark.parametrize("groups", [1, 4])
 @pytest.mark.parametrize("M", [1, 5])
-def test_int4_int8dot_close_to_exact(rng, M, groups):
+def test_int4_int8dot_close_to_exact(rng, M, groups, variant):
     """The W4A8 "int8dot" variant quantizes activations to int8 per (row,
     k-group) in-kernel; its only deviation from exact dequant-matmul is
     activation rounding (≤ amax/254 per element), so it must land within a
@@ -126,7 +128,7 @@ def test_int4_int8dot_close_to_exact(rng, M, groups):
         quant_matmul_int4(
             jnp.asarray(x), p["qweight"], p["scales"], p["zeros"],
             block_m=8, block_n=128, interpret=True, out_dtype=jnp.float32,
-            unpack="int8dot",
+            unpack=variant,
         )
     )
     np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 2e-2)
