@@ -72,9 +72,10 @@ def main(
             must divide max_batch).
         tp / fsdp: shard the weights over a ('dp','fsdp','tp') mesh before
             serving (col/row-parallel per `parallel/specs.py`, quantized
-            leaves included); the engines are sharding-oblivious. Not yet
-            composable with --pp-stages (pp shards the layer axis on its own
-            mesh; in-stage tp for serving is an open item).
+            leaves included); the engines are sharding-oblivious. Composes
+            with --pp-stages: the pipeline wavefront is manual over 'pp'
+            only, tp/fsdp shard each stage's math under GSPMD
+            (`parallel/pp_decode.py` pp × tp serving).
     """
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
     from lit_llama_ja_tpu.infer.paged import PagedEngine
@@ -82,13 +83,7 @@ def main(
     from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
 
     params, config = load_model_any(Path(checkpoint_path), quantize)
-    if tp > 1 or fsdp > 1:
-        if pp_stages:
-            raise SystemExit(
-                "--tp/--fsdp cannot combine with --pp-stages yet: pipeline "
-                "serving shards the layer axis on a dedicated 'pp' mesh "
-                "(parallel/pp_decode.py) without in-stage tensor parallelism"
-            )
+    if (tp > 1 or fsdp > 1) and not pp_stages:
         from lit_llama_ja_tpu.parallel.mesh import make_mesh
         from lit_llama_ja_tpu.parallel.specs import shard_params
 
@@ -125,9 +120,10 @@ def main(
 
             from lit_llama_ja_tpu.parallel.mesh import make_mesh
 
+            n_dev = pp_stages * tp * fsdp
             common["pp_mesh"] = make_mesh(
-                dp=1, fsdp=1, tp=1, pp=pp_stages,
-                devices=jax.devices()[:pp_stages],
+                dp=1, fsdp=fsdp, tp=tp, pp=pp_stages,
+                devices=jax.devices()[:n_dev],
             )
             common["pp_microbatches"] = pp_microbatches or pp_stages
         if draft_checkpoint_path:

@@ -651,6 +651,9 @@ class PagedEngine:
                 make_pp_decode_step,
                 make_pp_prefill,
                 make_pp_prefill_read,
+                mesh_has_auto_axes,
+                pp_auto_param_shardings,
+                pp_auto_pool_shardings,
                 shard_pool_pp,
             )
 
@@ -672,8 +675,19 @@ class PagedEngine:
                 self._pp_prefill = make_pp_prefill(
                     config, pp_mesh, params, self.pool, quantized=quantize_kv
                 )
-            self.params = shard_params_pp(params, pp_mesh)
-            self.pool = shard_pool_pp(self.pool, pp_mesh)
+            if mesh_has_auto_axes(pp_mesh):
+                # pp × tp serving: the wavefronts are manual over 'pp' only;
+                # tp/fsdp shard each stage's math under GSPMD from these
+                # combined placements (parallel/pp_decode.py)
+                self.params = jax.device_put(
+                    params, pp_auto_param_shardings(params, pp_mesh)
+                )
+                self.pool = jax.device_put(
+                    self.pool, pp_auto_pool_shardings(self.pool, pp_mesh)
+                )
+            else:
+                self.params = shard_params_pp(params, pp_mesh)
+                self.pool = shard_pool_pp(self.pool, pp_mesh)
         # host-side allocator state; page 0 is the reserved trash page
         self.free: List[int] = list(range(n_pages - 1, 0, -1))
         self.page_refs = np.zeros(n_pages, np.int32)

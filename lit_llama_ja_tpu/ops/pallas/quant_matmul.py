@@ -207,8 +207,14 @@ def _qmm4_kernel(
 
 def _qmm8_kernel(
     x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
-    *, n_k, groups_per_tile, signed,
+    *, n_k, groups_per_tile, signed, unpack="bf16",
 ):
+    """``unpack="int8dot"`` (decode default, round 3): feed the MXU the int8
+    weights DIRECTLY — zero weight-side VPU ops for the signed/absmax scheme
+    (the i8 tile is the dot operand as loaded), one u8 XOR for the asymmetric
+    scheme (``(w ^ 0x80).astype(int8) == w − 128`` exactly; the −128 folds
+    into the zero correction). Activations int8-quantized per (row, k-group)
+    as in the int4 kernel (W8A8). "bf16" keeps the exact float path."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -216,23 +222,40 @@ def _qmm8_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = w_ref[:]
-    wq = (
-        w.astype(jnp.float32).astype(jnp.bfloat16)
-        if signed
-        else w.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-    )
+    if unpack == "int8dot":
+        wq = w if signed else (w ^ jnp.uint8(0x80)).astype(jnp.int8)
+        zshift = 0.0 if signed else 128.0
+    else:
+        wq = (
+            w.astype(jnp.float32).astype(jnp.bfloat16)
+            if signed
+            else w.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        )
     bk = wq.shape[0]
     sub = bk // groups_per_tile
     part_sum = jnp.zeros_like(acc_ref)
     for g in range(groups_per_tile):
         sl = slice(g * sub, (g + 1) * sub)
         gi = k * groups_per_tile + g
-        x_g = x_ref[:, sl]
-        part = jnp.dot(x_g, wq[sl], preferred_element_type=jnp.float32)
         s_row = s_ref[pl.ds(gi, 1), :]
         z_row = z_ref[pl.ds(gi, 1), :]
-        sx_col = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
-        part = (part - sx_col * z_row) * s_row
+        if unpack == "int8dot":
+            x_f = x_ref[:, sl].astype(jnp.float32)
+            amax = jnp.max(jnp.abs(x_f), axis=1, keepdims=True)
+            rsx = 127.0 / jnp.maximum(amax, 1e-30)
+            xq = jnp.round(x_f * rsx).astype(jnp.int8)
+            part_i = jnp.dot(xq, wq[sl], preferred_element_type=jnp.int32)
+            sx = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True).astype(
+                jnp.float32
+            )
+            part = (part_i.astype(jnp.float32) - sx * (z_row - zshift)) * (
+                s_row / rsx
+            )
+        else:
+            x_g = x_ref[:, sl]
+            part = jnp.dot(x_g, wq[sl], preferred_element_type=jnp.float32)
+            sx_col = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+            part = (part - sx_col * z_row) * s_row
         part_sum = part_sum + part
     acc_ref[:] = acc_ref[:] + part_sum
 
@@ -371,7 +394,9 @@ def quant_matmul_int4(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+    static_argnames=(
+        "block_m", "block_n", "block_k", "out_dtype", "interpret", "unpack"
+    ),
 )
 def quant_matmul_int8(
     x: jax.Array,
@@ -384,6 +409,9 @@ def quant_matmul_int8(
     block_k: Optional[int] = None,
     out_dtype=None,
     interpret: bool = False,
+    # None = auto: "int8dot" (W8A8, weights are the MXU operand as loaded)
+    # for decode/GEMV (M <= 64), "bf16" (exact) for prefill.
+    unpack: Optional[str] = None,
 ):
     orig_shape = x.shape
     K = x.shape[-1]
@@ -398,10 +426,16 @@ def quant_matmul_int8(
     # M-dependent tiling like the int4 kernel: decode/GEMV streams fastest
     # with (bk 512, bn 2048) tiles (437.9 vs 407.5 GB/s at the 7B M=1 shapes,
     # tools/bench_gemv_sweep.py --bits 8); large M keeps the original tiles.
+    if unpack is None:
+        # the int8 kernel is HBM-bound either way (measured: "int8dot" W8A8
+        # 476.1 GB/s vs exact bf16 484.1 at the decode tiling) — default to
+        # exact numerics; "int8dot" stays selectable for future platforms
+        unpack = "bf16"
     if block_n is None:
         # decode: full-width n tiles, same finding as the int4 kernel
-        # (round 3: bn=N bk=256 484.1 GB/s vs round-2's (2048, 512) 437.9)
-        block_n = 12288 if M <= 64 else 512
+        # (round 3: bn=N bk=256 484.1 GB/s vs round-2's (2048, 512) 437.9);
+        # same single-n-tile + M ≤ 8 scoped-vmem guard as the int4 kernel
+        block_n = N if (M <= 8 and N <= 12288) else (2048 if M <= 64 else 512)
     if block_k is None:
         block_k = 256 if M <= 64 else 2048
     bm = min(block_m, _round_up(M, 8))
@@ -425,7 +459,8 @@ def quant_matmul_int8(
     grid = (Mp // bm, pl.cdiv(N, bn), n_k)
     out = pl.pallas_call(
         functools.partial(
-            _qmm8_kernel, n_k=n_k, groups_per_tile=gpt, signed=signed
+            _qmm8_kernel, n_k=n_k, groups_per_tile=gpt, signed=signed,
+            unpack=unpack
         ),
         grid=grid,
         interpret=interpret,

@@ -72,6 +72,61 @@ def shard_pool_pp(pool: PagePool, mesh: Mesh, axis: str = "pp") -> PagePool:
     )
 
 
+# ---------------------------------------------------------------------------
+# pp × tp serving (GSPMD-auto in-stage tensor parallelism)
+#
+# The wavefront shard_maps above are manual over 'pp' ONLY
+# (``axis_names={axis}``): any other mesh axis stays under GSPMD control
+# inside the body, so in-stage tensor parallelism needs no tp-aware chain —
+# place the params/pool with the combined specs below and XLA partitions each
+# stage's block math over 'tp'/'fsdp' exactly as it does for the single-mesh
+# tensor-sharded engine (tests/test_paged.py::test_sharded_paged_engine).
+# ---------------------------------------------------------------------------
+
+def pp_auto_param_shardings(params, mesh: Mesh, axis: str = "pp"):
+    """Combined placement: blocks lead with the 'pp' layer shard and keep
+    their `parallel/specs.py` col/row (tp × fsdp) dims; non-block leaves keep
+    the base specs. No qkv relayout — GSPMD handles the fused (L, D, 3D)
+    column shard automatically (the training-side megatron path in
+    `parallel/pipeline.py` needs the relayout only because its in-stage math
+    is hand-written)."""
+    from lit_llama_ja_tpu.parallel.specs import param_specs
+
+    specs = param_specs(params)
+
+    def with_pp(sp):
+        t = tuple(sp)
+        return P(axis, *t[1:]) if t else P(axis)
+
+    specs["blocks"] = jax.tree.map(
+        with_pp, specs["blocks"], is_leaf=lambda x: isinstance(x, P)
+    )
+    return jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def pp_auto_pool_shardings(pool: PagePool, mesh: Mesh, axis: str = "pp"):
+    """Pool leaves (L, n_pages, nh[, page[, hd]]): layer axis over 'pp',
+    heads over 'tp' (the `parallel/specs.KV_CACHE_SPEC` head split) when the
+    head count divides — otherwise heads replicate (GSPMD reshards around the
+    attention as needed; int4 pools have nh/2 head-pair planes)."""
+    tp_ways = mesh.shape["tp"] if "tp" in mesh.axis_names else 1
+
+    def sh(a):
+        tp = "tp" if tp_ways > 1 and a.shape[2] % tp_ways == 0 else None
+        return NamedSharding(mesh, P(axis, None, tp, *(None,) * (a.ndim - 3)))
+
+    return jax.tree.map(sh, pool)
+
+
+def mesh_has_auto_axes(mesh: Mesh, axis: str = "pp") -> bool:
+    return any(
+        mesh.shape[a] > 1 for a in mesh.axis_names if a != axis
+    )
+
+
 def make_pp_span_forward(
     config: LLaMAConfig,
     mesh: Mesh,
@@ -139,6 +194,7 @@ def make_pp_span_forward(
         in_specs=(pspecs, P(), P(), P(), poolspecs),
         out_specs=(P(), wspecs if defer_commit else poolspecs),
         check_vma=False,
+        axis_names=frozenset({axis}),
     )
     def inner(params, toks, pos, tables, pool):
         s = jax.lax.axis_index(axis)
@@ -256,6 +312,7 @@ def make_pp_commit(mesh: Mesh, pool: PagePool, axis: str = "pp"):
         in_specs=(poolspecs, wspecs, P(), P()),
         out_specs=poolspecs,
         check_vma=False,
+        axis_names=frozenset({axis}),
     )
     def inner(pool, writes, page_idx, offs):
         return commit_writes(pool, writes, page_idx, offs)
@@ -350,6 +407,7 @@ def _make_pp_prefill_inner(
         in_specs=(pspecs, P(), P(), P(), poolspecs),
         out_specs=(P(), wspecs if defer_commit else poolspecs),
         check_vma=False,
+        axis_names=frozenset({axis}),
     )
     def inner(params, toks, pos, tables, pool):
         s = jax.lax.axis_index(axis)

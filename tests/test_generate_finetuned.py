@@ -142,12 +142,24 @@ def test_serve_sharded_cli(artifacts, capsys):
     assert got == want
 
 
-def test_serve_tp_pp_conflict(artifacts):
+def test_serve_tp_pp_composed_cli(artifacts, capsys):
+    """--tp composes with --pp-stages (pp wavefront manual over 'pp' only,
+    tp under GSPMD — parallel/pp_decode.py pp × tp serving): same outputs as
+    the single-device engine through the CLI."""
     from lit_llama_ja_tpu.cli.serve_cli import main
 
-    with pytest.raises(SystemExit):
-        main(
-            checkpoint_path=str(artifacts / "base"),
-            tokenizer_path=str(artifacts / "tokenizer.json"),
-            tp=2, pp_stages=2,
-        )
+    kw = dict(
+        prompt="hello world",
+        n_requests=2,
+        max_new_tokens=4,
+        max_batch=2,
+        temperature=0.0,
+        checkpoint_path=str(artifacts / "base"),
+        tokenizer_path=str(artifacts / "tokenizer.json"),
+        max_seq_length=64,
+    )
+    main(**kw)
+    want = capsys.readouterr().out
+    main(**kw, tp=2, pp_stages=2, pp_microbatches=2)
+    got = capsys.readouterr().out
+    assert got == want

@@ -152,3 +152,27 @@ def test_int4_int8dot_zero_rows(rng):
     )
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("scheme", ["absmax", "colblock"])
+def test_int8_int8dot_close_to_exact(rng, scheme):
+    """The W8A8 "int8dot" int8-kernel variant (weights are the MXU operand as
+    loaded; activations int8-rounded per k-group) lands within the activation
+    rounding band of the exact dequant reference, for both the signed absmax
+    and unsigned colblock schemes."""
+    K, N = 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    if scheme == "absmax":
+        p = quantize_int8_absmax(jnp.asarray(w))
+    else:
+        p = quantize_colblock(jnp.asarray(w), bits=8, tile_cols=64)
+    x = rng.standard_normal((3, K)).astype(np.float32)
+    want = np.asarray(jnp.asarray(x) @ dequantize_with_k(p, K))
+    got = np.asarray(
+        quant_matmul_int8(
+            jnp.asarray(x), p["qweight"], p["scales"], p["zeros"],
+            block_m=8, block_n=128, interpret=True, out_dtype=jnp.float32,
+            unpack="int8dot",
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 2e-2)

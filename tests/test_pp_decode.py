@@ -11,6 +11,7 @@ import pytest
 
 from lit_llama_ja_tpu.core.config import LLaMAConfig
 from lit_llama_ja_tpu.infer.paged import (
+    PagedEngine,
     _paged_decode_and_sample,
     init_page_pool,
     paged_forward,
@@ -322,3 +323,22 @@ def test_pp_decode_sampled_smoke(params, rng):
     )
     tok = np.asarray(tok)
     assert tok.shape == (2,) and (tok >= 0).all() and (tok < 96).all()
+
+
+@pytest.mark.parametrize("quantized", [False, True, "int4"])
+def test_paged_engine_pp_tp_matches_single_mesh(params, rng, quantized):
+    """pp × tp serving: the wavefront shard_maps are manual over 'pp' only
+    (axis_names), so a pp=2×tp=4 mesh runs each stage's math tp-sharded under
+    GSPMD — bitwise identical to the single-device engine, for fp, int8-KV
+    and head-pair int4-KV pools."""
+    prompts = [rng.integers(0, 96, size=(n,)).astype(np.int32) for n in (5, 9)]
+    kw = dict(max_batch=2, n_pages=NPAGES, page_size=PAGE, quantize_kv=quantized)
+
+    ref = PagedEngine(params, CFG, **kw)
+    want = ref.run([(p, 5) for p in prompts])
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=4, pp=2)
+    eng = PagedEngine(params, CFG, pp_mesh=mesh, pp_microbatches=2, **kw)
+    got = eng.run([(p, 5) for p in prompts])
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
