@@ -153,3 +153,35 @@ def test_pp_tree_pp_split_false(target, draft, rng):
         [(prompt, 14)]
     )
     np.testing.assert_array_equal(got[0], want[0])
+
+
+@pytest.mark.parametrize("engine_kind", ["chain", "tree"])
+def test_pp_tp_speculative_matches_single_mesh(target, draft, rng, engine_kind):
+    """Speculative engines on a pp × tp mesh (in-stage GSPMD tensor
+    parallelism, round 3): bitwise vs the single-device engine for chain and
+    tree verification."""
+    prompts = [rng.integers(0, 64, size=(n,)).astype(np.int32) for n in (5, 9)]
+    reqs = [(p, 10) for p in prompts]
+    mesh = make_mesh(dp=1, fsdp=1, tp=2, pp=2, devices=jax.devices()[:4])
+    if engine_kind == "chain":
+        from lit_llama_ja_tpu.infer.spec_serving import SpeculativePagedEngine
+
+        want = SpeculativePagedEngine(
+            target, TCFG, draft_params=draft, draft_config=DCFG, draft_k=3, **KW
+        ).run(reqs)
+        got = SpeculativePagedEngine(
+            target, TCFG, draft_params=draft, draft_config=DCFG, draft_k=3,
+            pp_mesh=mesh, pp_microbatches=2, **KW
+        ).run(reqs)
+    else:
+        from lit_llama_ja_tpu.infer.tree_spec import TreeSpeculativePagedEngine
+
+        want = TreeSpeculativePagedEngine(
+            target, TCFG, draft_params=draft, draft_config=DCFG, tree=(2, 2), **KW
+        ).run(reqs)
+        got = TreeSpeculativePagedEngine(
+            target, TCFG, draft_params=draft, draft_config=DCFG, tree=(2, 2),
+            pp_mesh=mesh, pp_microbatches=2, **KW
+        ).run(reqs)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
