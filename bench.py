@@ -107,8 +107,8 @@ def synth_int8_params(config: LLaMAConfig, key):
     }
 
 
-def measure_decode(params, config, batch, seq, decode_steps):
-    cache = init_kv_cache(config, batch, seq, quantized=True)
+def measure_decode(params, config, batch, seq, decode_steps, quantized_kv="int4"):
+    cache = init_kv_cache(config, batch, seq, quantized=quantized_kv)
     tok = jnp.zeros((batch, 1), jnp.int32)
 
     def step(params, cache, tok, pos):
@@ -141,7 +141,10 @@ def main():
 
     config = LLaMAConfig.from_name(model)
     params = synth_int4_params(config, jax.random.PRNGKey(0))
-    # north-star config: int4 weights + INT8-quantized KV cache
+    # north-star config: int4 weights + INT4 head-pair-packed KV cache
+    # (round 3: decode-path ppl of int4-KV measured indistinguishable from fp
+    # on a real checkpoint — QUALITY.md; int8-KV single-stream is 66.6 tok/s
+    # on the same kernels, PERF.md)
     toks_per_s = measure_decode(params, config, batch, seq, decode_steps)
     del params
 

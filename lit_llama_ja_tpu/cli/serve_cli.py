@@ -22,7 +22,7 @@ def main(
     checkpoint_path: str = "checkpoints/lit-llama/7B/native",
     tokenizer_path: str = "checkpoints/lit-llama/tokenizer.json",
     quantize: Optional[str] = None,
-    quantize_kv: bool = True,
+    quantize_kv: str = "int4",
     max_seq_length: int = 2048,
     paged: bool = True,
     page_size: int = 16,
@@ -44,7 +44,11 @@ def main(
         prompts_file: newline-separated prompts; empty -> repeat ``prompt``
             ``n_requests`` times.
         quantize: None | "llm.int8" | "gptq.int4" | "gptq.int8" (weights).
-        quantize_kv: INT8 KV cache (halves decode cache traffic).
+        quantize_kv: "int4" (default) | "int8" | "none". INT4 packs the
+            cache across head pairs — quarter the decode cache traffic;
+            decode-path ppl measured indistinguishable from fp on a real
+            checkpoint (QUALITY.md) and 1.7-2x faster serving than int8-KV
+            (PERF.md round 3).
         paged: page-pool KV cache (`infer/paged.py`, the default) — shared
             memory budget with admission backpressure and preemption instead
             of per-slot stripes; also the faster engine (PERF.md: paged beats
@@ -83,6 +87,9 @@ def main(
     from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
 
     params, config = load_model_any(Path(checkpoint_path), quantize)
+    quantize_kv = {"none": False, "false": False, "int8": True}.get(
+        str(quantize_kv).lower(), quantize_kv
+    )
     if (tp > 1 or fsdp > 1) and not pp_stages:
         from lit_llama_ja_tpu.parallel.mesh import make_mesh
         from lit_llama_ja_tpu.parallel.specs import shard_params
@@ -149,6 +156,12 @@ def main(
         else:
             engine = PagedEngine(params, config, **common)
     else:
+        if quantize_kv == "int4":
+            # the slot-stripe engine predates the head-pair int4 cache; its
+            # write path is int8-only — downgrade rather than crash
+            print("stripe engine supports int8 KV at most; using int8",
+                  file=sys.stderr)
+            quantize_kv = True
         engine = Engine(
             params, config,
             max_batch=max_batch, max_seq_length=max_seq_length,
