@@ -77,6 +77,20 @@ def body_i16dot(w8, xe, xo):
     return d.astype(jnp.float32) * (1.0 / 127.0)
 
 
+def body_i8dot_hoist(w8, xe, xo):
+    # activations arrive already int8-valued (rounded outside); only the two
+    # weight ANDs + casts + dots remain in-kernel — isolates the in-kernel
+    # activation-quant cost of the production int8dot_bias variant
+    lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int8)
+    hi = (w8 & jnp.uint8(0xF0)).astype(jnp.int8)
+    xq_e = xe.astype(jnp.int8)
+    xq_o = xo.astype(jnp.int8)
+    d = jnp.dot(xq_e, lo, preferred_element_type=jnp.int32) + jnp.dot(
+        xq_o, hi, preferred_element_type=jnp.int32
+    )
+    return d.astype(jnp.float32) * (1.0 / 127.0)
+
+
 def body_i8dot(w8, xe, xo):
     lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int8)
     hi8 = (w8 & jnp.uint8(0xF0)).astype(jnp.int16).astype(jnp.int8)  # bogus math
@@ -95,6 +109,7 @@ BODIES = {
     "i32chain": body_i32chain,
     "i16dot": body_i16dot,
     "i8dot": body_i8dot,
+    "i8dot_hoist": body_i8dot_hoist,
 }
 
 
