@@ -94,6 +94,7 @@ def main(
     draft_k: int = 4,
     tp: int = 1,
     fsdp: int = 1,
+    quantize_kv: str = "none",
     seed: int = 1234,
 ) -> None:
     """Generates text samples based on a pre-trained LLaMA model and tokenizer.
@@ -116,6 +117,9 @@ def main(
         tp / fsdp: shard the weights over a ('dp','fsdp','tp') mesh
             (col/row-parallel per `parallel/specs.py`); the decode loop is
             sharding-oblivious.
+        quantize_kv: "none" (default, bf16 cache — reference parity) |
+            "int8" | "int4" (head-pair packed; the bench.py headline config —
+            +16% single-stream decode, decode-path ppl ≈ fp, QUALITY.md).
         seed: PRNG seed.
     """
     from lit_llama_ja_tpu.infer.generate import generate
@@ -148,6 +152,9 @@ def main(
     encoded = tokenizer.encode(prompt, bos=True, eos=False)
     prompt_length = len(encoded)
 
+    qkv = {"none": False, "false": False, "int8": True}.get(
+        str(quantize_kv).lower(), quantize_kv
+    )
     key = jax.random.PRNGKey(seed)
     for i in range(num_samples):
         key, sub = jax.random.split(key)
@@ -174,6 +181,7 @@ def main(
                 eos_id=tokenizer.eos_id,
                 key=sub,
                 cache_dtype=jnp.bfloat16,
+                quantize_kv=qkv,
             )
         jax.effects_barrier()
         t = time.perf_counter() - t0

@@ -163,3 +163,22 @@ def test_serve_tp_pp_composed_cli(artifacts, capsys):
     main(**kw, tp=2, pp_stages=2, pp_microbatches=2)
     got = capsys.readouterr().out
     assert got == want
+
+
+def test_generate_quantize_kv_cli(artifacts, capsys):
+    """--quantize-kv int8/int4 through the generate CLI produce finite text
+    (numerics differ from the fp cache by design — smoke + shape check)."""
+    from lit_llama_ja_tpu.cli.generate_cli import main
+
+    for mode in ("int8", "int4"):
+        main(
+            prompt="hello world",
+            num_samples=1,
+            max_new_tokens=4,
+            temperature=0.0,
+            checkpoint_path=str(artifacts / "base"),
+            tokenizer_path=str(artifacts / "tokenizer.json"),
+            quantize_kv=mode,
+        )
+        out = capsys.readouterr().out
+        assert out.strip()
