@@ -154,13 +154,8 @@ def main():
     params8 = synth_int8_params(config, jax.random.PRNGKey(1))
     toks_int8 = measure_decode(params8, config, batch, seq, decode_steps)
     print(
-        json.dumps(
-            {
-                "metric": f"llama-{model}-llm.int8-decode-tokens/s/chip",
-                "value": round(toks_int8, 2),
-                "unit": "tokens/s",
-            }
-        ),
+        f"# llama-{model}-llm.int8-decode-tokens/s/chip: {toks_int8:.2f} "
+        "(comparison point; the one JSON line below is the headline)",
         file=sys.stderr,
     )
 
