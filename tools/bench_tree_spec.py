@@ -22,7 +22,12 @@ from lit_llama_ja_tpu.infer.spec_serving import _batched_spec_round
 from lit_llama_ja_tpu.infer.tree_spec import _tree_spec_round, tree_topology
 from lit_llama_ja_tpu.models.llama import init_params
 
+import os
+
 B, S, PAGE, ROUNDS = 8, 1024, 16, 8
+# target KV-cache mode: int8 (default) or int4 via KV=int4 (round 3: int4 is
+# the serving default; spec round costs must be re-checked under it)
+KVMODE = {"int8": True, "int4": "int4"}[os.environ.get("KV", "int8")]
 tcfg = LLaMAConfig.from_name("7B")
 # synthetic draft in the 7B tokenizer's vocab (~50M-param class)
 dcfg = LLaMAConfig(
@@ -43,7 +48,7 @@ key = jax.random.PRNGKey(0)
 
 def fresh_pools():
     return (
-        init_page_pool(tcfg, B * AP + 1, PAGE, quantized=True),
+        init_page_pool(tcfg, B * AP + 1, PAGE, quantized=KVMODE),
         init_page_pool(dcfg, B * AP + 1, PAGE, quantized=False),
     )
 
@@ -76,7 +81,7 @@ tpool, _ = fresh_pools()
 
 def plain_step(nxt, tpool):
     nxt, writes, pi, of = _paged_decode_read_and_sample(
-        tparams, nxt, pos, tables, tpool, key, temps, tcfg, True, None
+        tparams, nxt, pos, tables, tpool, key, temps, tcfg, KVMODE, None
     )
     return nxt, commit_writes_jit(tpool, writes, pi, of)
 
@@ -107,7 +112,7 @@ for K in (3, 4):
     ms = time_rounds(
         lambda tp, dp, K=K: _batched_spec_round(
             tparams, dparams, prev, cur, pos, tables, tp, dp, key, temps,
-            tcfg, dcfg, K, True, None, None,
+            tcfg, dcfg, K, KVMODE, None, None,
         )
     )
     report(f"chain K={K}:", ms, K)
@@ -118,7 +123,7 @@ for tree in ((4, 1, 1), (2, 2, 2), (4, 2, 2), (3, 2)):
     ms = time_rounds(
         lambda tp, dp, tree=tree: _tree_spec_round(
             tparams, dparams, cur, pos, tp, dp, tables, key, temps,
-            tcfg, dcfg, tree, True, None, None,
+            tcfg, dcfg, tree, KVMODE, None, None,
         )
     )
     report(f"tree {tree} ({nt} nodes):", ms, len(tree))
