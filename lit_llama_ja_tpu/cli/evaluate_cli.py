@@ -8,6 +8,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _tokenizer(tokenizer_path: str):
@@ -17,15 +18,33 @@ def _tokenizer(tokenizer_path: str):
     return Tokenizer(p) if p.suffix == ".model" else HFTokenizer(p)
 
 
-def _evaluate(params, config, datasets, tokenizer, forward_fn=None):
-    from lit_llama_ja_tpu.infer.evaluate import load_eval_dataset, perplexity
+def _evaluate(params, config, datasets, tokenizer, forward_fn=None,
+              kv_cache=None, kv_windows=12):
+    from lit_llama_ja_tpu.infer.evaluate import (
+        decode_path_perplexity,
+        load_eval_dataset,
+        perplexity,
+    )
 
     for name in datasets.split(","):
         name = name.strip()
         t0 = time.perf_counter()
         tokens = load_eval_dataset(name, tokenizer)
-        ppl = perplexity(params, config, tokens, forward_fn=forward_fn)
-        print(f"{name}: perplexity {ppl:.4f} ({time.perf_counter() - t0:.1f}s)")
+        if kv_cache is not None:
+            mode = {"none": False, "fp": False, "int8": "int8"}.get(
+                str(kv_cache).lower(), kv_cache
+            )
+            ppl = decode_path_perplexity(
+                params, config, np.asarray(tokens),
+                quantize_kv=mode, windows=kv_windows,
+            )
+            print(
+                f"{name}: decode-path perplexity (kv={kv_cache}) {ppl:.4f} "
+                f"({time.perf_counter() - t0:.1f}s, {kv_windows} windows)"
+            )
+        else:
+            ppl = perplexity(params, config, tokens, forward_fn=forward_fn)
+            print(f"{name}: perplexity {ppl:.4f} ({time.perf_counter() - t0:.1f}s)")
 
 
 def main(
@@ -33,12 +52,21 @@ def main(
     checkpoint_path: str = "checkpoints/lit-llama/7B/lit-llama.pth",
     tokenizer_path: str = "checkpoints/lit-llama/tokenizer.json",
     quantize: Optional[str] = None,
+    kv_cache: Optional[str] = None,
+    kv_windows: int = 12,
 ) -> None:
-    """Evaluate perplexity on wikitext/ptb/c4 (reference `evaluate/full.py:46-135`)."""
+    """Evaluate perplexity on wikitext/ptb/c4 (reference `evaluate/full.py:46-135`).
+
+    ``--kv-cache none|int8|int4`` switches to the DECODE-PATH protocol:
+    teacher-forced through `forward_with_cache` so every logit reads the
+    (possibly quantized) KV cache — measures what a served user experiences
+    (`--kv-windows` sampled windows of block_size tokens; the full-sequence
+    protocol cannot see KV quantization). Omit for the reference protocol."""
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
 
     params, config = load_model_any(Path(checkpoint_path), quantize)
-    _evaluate(params, config, datasets, _tokenizer(tokenizer_path))
+    _evaluate(params, config, datasets, _tokenizer(tokenizer_path),
+              kv_cache=kv_cache, kv_windows=kv_windows)
 
 
 def main_lora(

@@ -54,6 +54,56 @@ def perplexity(
     return float(np.exp(total_nll / max(total_toks, 1)))
 
 
+def decode_path_perplexity(
+    params,
+    config: LLaMAConfig,
+    tokens: np.ndarray,
+    *,
+    quantize_kv=False,
+    windows: int = 12,
+    window: Optional[int] = None,
+    seed: int = 11,
+) -> float:
+    """Teacher-forced perplexity through the CACHED decode path.
+
+    Every logit is produced by `forward_with_cache` reading the (possibly
+    quantized) KV cache — the quantity a served user actually experiences.
+    The full-sequence protocol (`perplexity`) cannot see KV-cache
+    quantization at all: it never builds a cache. ``quantize_kv``:
+    False | "int8" | "int4" (head-pair packed). Windows are sampled from the
+    token stream with a seeded RNG (teacher-forced decode is ~T sequential
+    steps per window — sampling keeps the cost bounded)."""
+    import jax
+
+    from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
+
+    T = window or config.block_size
+
+    @jax.jit
+    def window_nll(params, seq):  # seq: (T+1,)
+        cache = init_kv_cache(config, 1, T, jnp.float32, quantized=quantize_kv)
+
+        def body(carry, t):
+            cache, nll = carry
+            logits, cache = forward_with_cache(
+                params, seq[t][None, None], t[None], cache, config
+            )
+            logp = jax.nn.log_softmax(logits[0, 0].astype(jnp.float32))
+            return (cache, nll - logp[seq[t + 1]]), None
+
+        (cache, nll), _ = jax.lax.scan(
+            body, (cache, jnp.float32(0.0)), jnp.arange(T, dtype=jnp.int32)
+        )
+        return nll
+
+    rng = np.random.default_rng(seed)
+    n = min(windows, max(1, (len(tokens) - 1) // T))
+    hi = len(tokens) - T - 1
+    ix = rng.integers(0, hi, size=n) if hi > 0 else np.zeros(n, np.int64)
+    total = sum(float(window_nll(params, jnp.asarray(tokens[i : i + T + 1]))) for i in ix)
+    return float(np.exp(total / (n * T)))
+
+
 def load_eval_dataset(name: str, tokenizer, split: str = "test") -> np.ndarray:
     """Load and tokenize an eval corpus (reference `evaluate/full.py:23-43`):
     wikitext-2 / ptb / c4 via HF datasets (requires network), or — the

@@ -47,3 +47,36 @@ def test_quantized_ppl_delta_small(rng):
     q8 = int8_quantize_model(params)
     quant = perplexity(q8, CFG, tokens, window=16)
     assert abs(quant - base) / base < 0.02, (base, quant)
+
+
+def test_decode_path_perplexity_matches_full_sequence(rng):
+    """With an fp cache, the decode-path protocol (teacher-forced through
+    forward_with_cache) reproduces the full-sequence window perplexity — the
+    cached and uncached paths compute the same logits."""
+    import jax
+
+    from lit_llama_ja_tpu.infer.evaluate import decode_path_perplexity, perplexity
+    from lit_llama_ja_tpu.models.llama import init_params
+
+    cfg = LLaMAConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2, n_embd=16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = rng.integers(0, 64, size=(17,)).astype(np.int32)  # exactly one window
+    want = perplexity(params, cfg, tokens)
+    got = decode_path_perplexity(params, cfg, tokens, quantize_kv=False, windows=1)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_decode_path_perplexity_quantized_close(rng):
+    """int8/int4 caches perturb but do not explode the decode-path ppl."""
+    import jax
+
+    from lit_llama_ja_tpu.infer.evaluate import decode_path_perplexity
+    from lit_llama_ja_tpu.models.llama import init_params
+
+    cfg = LLaMAConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2, n_embd=16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = rng.integers(0, 64, size=(120,)).astype(np.int32)
+    base = decode_path_perplexity(params, cfg, tokens, quantize_kv=False, windows=3)
+    for mode in ("int8", "int4"):
+        q = decode_path_perplexity(params, cfg, tokens, quantize_kv=mode, windows=3)
+        assert abs(q - base) / base < 0.1, (mode, q, base)

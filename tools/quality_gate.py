@@ -43,40 +43,14 @@ def markov_corpus(vocab: int, n_tokens: int, seed: int, order_seed: int = 7):
 
 
 def kv_cache_ppl(params, cfg, tokens: np.ndarray, quantize_kv, windows: int = 24):
-    """Teacher-forced perplexity through the CACHED decode path: prefill one
-    token, then decode each position with `forward_with_cache` so every logit
-    is produced by reading the (possibly quantized) KV cache — the quantity a
-    served user actually experiences. Full-sequence eval cannot see KV-cache
-    quantization at all (it never builds a cache)."""
-    import jax.numpy as jnp
+    """Teacher-forced decode-path perplexity (see
+    `infer/evaluate.py::decode_path_perplexity`, which this wraps — also
+    reachable via `evaluate/full.py --kv-cache`)."""
+    from lit_llama_ja_tpu.infer.evaluate import decode_path_perplexity
 
-    from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
-
-    T = cfg.block_size
-
-    @jax.jit
-    def window_nll(params, seq):  # seq: (T+1,)
-        cache = init_kv_cache(cfg, 1, T, jnp.float32, quantized=quantize_kv)
-
-        def body(carry, t):
-            cache, nll = carry
-            logits, cache = forward_with_cache(
-                params, seq[t][None, None], t[None], cache, cfg
-            )
-            logp = jax.nn.log_softmax(logits[0, 0].astype(jnp.float32))
-            return (cache, nll - logp[seq[t + 1]]), None
-
-        (cache, nll), _ = jax.lax.scan(
-            body, (cache, jnp.float32(0.0)), jnp.arange(T, dtype=jnp.int32)
-        )
-        return nll
-
-    rng = np.random.default_rng(11)
-    ix = rng.integers(0, len(tokens) - T - 1, size=windows)
-    total = 0.0
-    for i in ix:
-        total += float(window_nll(params, jnp.asarray(tokens[i : i + T + 1])))
-    return float(np.exp(total / (windows * T)))
+    return decode_path_perplexity(
+        params, cfg, tokens, quantize_kv=quantize_kv, windows=windows, seed=11
+    )
 
 
 def main(steps: int = 300, gptq_groupsize: int = -1, kv: bool = False, kv_windows: int = 24):
