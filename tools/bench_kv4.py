@@ -36,9 +36,13 @@ AP = S // PAGE
 tables = jnp.asarray(1 + np.arange(B * AP, dtype=np.int32).reshape(B, AP))
 pos = jnp.full((B,), S - STEPS - 2, jnp.int32)
 toks = jnp.ones((B,), jnp.int32)
+import os
 chunk = None
 if B > 8:
     chunk = next((c for c in (4, 3, 2) if B % c == 0), None)
+if os.environ.get("CHUNK"):  # override: CHUNK=8 | CHUNK=none
+    c = os.environ["CHUNK"]
+    chunk = None if c == "none" else int(c)
 
 for qkv in MODES:
   for variant in VARIANTS:
