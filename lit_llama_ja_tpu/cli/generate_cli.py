@@ -168,6 +168,7 @@ def main(
                 K=draft_k, temperature=temperature, top_k=top_k,
                 top_p=top_p if top_p < 1.0 else None,
                 eos_id=tokenizer.eos_id, key=sub, cache_dtype=jnp.bfloat16,
+                quantize_kv=qkv,
             )
         else:
             y = generate(

@@ -162,12 +162,16 @@ def speculative_generate(
     eos_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
+    quantize_kv=False,
 ) -> np.ndarray:
     """Generate with draft-model speculation; output distribution == target's.
 
     Both models must share the tokenizer/vocab (the ja family does). Generation
     stops ``K`` short of the cache capacity (speculative rounds need room for
-    K+1 writes; no roll-eviction inside a round).
+    K+1 writes; no roll-eviction inside a round). ``quantize_kv``
+    (False | "int8" | "int4") quantizes the TARGET cache — rejection rollback
+    is position bookkeeping only, so quantized writes work unchanged; the
+    small draft cache stays ``cache_dtype``.
     """
     prompt = jnp.asarray(prompt, jnp.int32)
     T = int(prompt.shape[0])
@@ -176,7 +180,7 @@ def speculative_generate(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    tcache = init_kv_cache(tcfg, 1, S, cache_dtype)
+    tcache = init_kv_cache(tcfg, 1, S, cache_dtype, quantized=quantize_kv)
     dcache = init_kv_cache(dcfg, 1, S, cache_dtype)
     padded = jnp.zeros((P,), jnp.int32).at[:T].set(prompt)
     input_pos = jnp.arange(P, dtype=jnp.int32)

@@ -81,3 +81,25 @@ def test_deterministic_under_key(target, draft, rng):
         temperature=0.7, key=jax.random.PRNGKey(3),
     )
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_speculative_quantized_kv_matches_plain_greedy(rng, mode):
+    """Greedy speculation with a quantized TARGET cache equals plain greedy
+    generate with the same quantized cache — the exactness guarantee holds
+    under KV quantization (rollback is position bookkeeping only)."""
+    from lit_llama_ja_tpu.infer.generate import generate
+    from lit_llama_ja_tpu.infer.speculative import speculative_generate
+
+    tparams = init_params(jax.random.PRNGKey(0), TCFG)
+    dparams = init_params(jax.random.PRNGKey(1), DCFG)
+    prompt = jnp.asarray(rng.integers(3, TCFG.vocab_size, (5,)), jnp.int32)
+
+    want = generate(
+        tparams, TCFG, prompt, 12, temperature=0.0, quantize_kv=mode
+    )
+    got = speculative_generate(
+        tparams, TCFG, dparams, DCFG, prompt, 12,
+        K=3, temperature=0.0, quantize_kv=mode,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
