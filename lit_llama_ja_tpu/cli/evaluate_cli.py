@@ -31,9 +31,9 @@ def _evaluate(params, config, datasets, tokenizer, forward_fn=None,
         t0 = time.perf_counter()
         tokens = load_eval_dataset(name, tokenizer)
         if kv_cache is not None:
-            mode = {"none": False, "fp": False, "int8": "int8"}.get(
-                str(kv_cache).lower(), kv_cache
-            )
+            from lit_llama_ja_tpu.models.llama import normalize_kv_mode
+
+            mode = normalize_kv_mode(kv_cache)
             ppl = decode_path_perplexity(
                 params, config, np.asarray(tokens),
                 quantize_kv=mode, windows=kv_windows,

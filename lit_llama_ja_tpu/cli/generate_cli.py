@@ -152,9 +152,9 @@ def main(
     encoded = tokenizer.encode(prompt, bos=True, eos=False)
     prompt_length = len(encoded)
 
-    qkv = {"none": False, "false": False, "int8": True}.get(
-        str(quantize_kv).lower(), quantize_kv
-    )
+    from lit_llama_ja_tpu.models.llama import normalize_kv_mode
+
+    qkv = normalize_kv_mode(quantize_kv)
     key = jax.random.PRNGKey(seed)
     for i in range(num_samples):
         key, sub = jax.random.split(key)

@@ -129,12 +129,16 @@ def main(
 
     maybe_init_distributed()
     # comma-separated chunk-file prefix overrides (equal mixture weights) for
-    # corpora prepared outside the ja mixture, e.g. prepare_any_text --prefix
-    global train_data_config, val_data_config
-    if train_prefixes:
-        train_data_config = [(px.strip(), 1.0) for px in train_prefixes.split(",")]
-    if val_prefixes:
-        val_data_config = [(px.strip(), 1.0) for px in val_prefixes.split(",")]
+    # corpora prepared outside the ja mixture, e.g. prepare_any_text --prefix;
+    # kept local so an in-process main() call never inherits a previous run's mixture
+    eff_train_config = (
+        [(px.strip(), 1.0) for px in train_prefixes.split(",")]
+        if train_prefixes else train_data_config
+    )
+    eff_val_config = (
+        [(px.strip(), 1.0) for px in val_prefixes.split(",")]
+        if val_prefixes else val_data_config
+    )
     if moe_experts:
         from lit_llama_ja_tpu.models.moe import MoEConfig
 
@@ -186,7 +190,7 @@ def main(
     # CombinedDataset handles weighted multi-source mixing
     batches = None
     single_source = [
-        (p, w) for p, w in train_data_config
+        (p, w) for p, w in eff_train_config
         if glob.glob(os.path.join(train_data_dir, p + "*"))
     ]
     if len(single_source) == 1:
@@ -208,7 +212,7 @@ def main(
             print(f"native reader unavailable ({e}); using Python reader")
     if batches is None:
         train_ds = create_dataset(
-            train_data_dir, train_data_config, config.block_size + 1, seed=seed + 1
+            train_data_dir, eff_train_config, config.block_size + 1, seed=seed + 1
         )
         ds_iter = iter(train_ds)
         if restart_iter:
@@ -218,7 +222,7 @@ def main(
     validate_fn = None
     if val_data_dir:
         val_ds = create_dataset(
-            val_data_dir, val_data_config, config.block_size + 1,
+            val_data_dir, eff_val_config, config.block_size + 1,
             seed=seed + 2, shuffle=False,
         )
         validate_fn = make_validate_fn(

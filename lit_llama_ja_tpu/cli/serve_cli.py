@@ -87,9 +87,9 @@ def main(
     from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
 
     params, config = load_model_any(Path(checkpoint_path), quantize)
-    quantize_kv = {"none": False, "false": False, "int8": True}.get(
-        str(quantize_kv).lower(), quantize_kv
-    )
+    from lit_llama_ja_tpu.models.llama import normalize_kv_mode
+
+    quantize_kv = normalize_kv_mode(quantize_kv)
     if (tp > 1 or fsdp > 1) and not pp_stages:
         from lit_llama_ja_tpu.parallel.mesh import make_mesh
         from lit_llama_ja_tpu.parallel.specs import shard_params

@@ -96,6 +96,11 @@ def decode_path_perplexity(
         )
         return nll
 
+    if len(tokens) < T + 1:
+        raise ValueError(
+            f"decode_path_perplexity needs at least window+1={T + 1} tokens, "
+            f"got {len(tokens)}; pass a smaller --kv-window or a longer stream"
+        )
     rng = np.random.default_rng(seed)
     n = min(windows, max(1, (len(tokens) - 1) // T))
     hi = len(tokens) - T - 1

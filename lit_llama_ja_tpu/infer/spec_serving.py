@@ -230,20 +230,23 @@ class SpeculativePagedEngine(PagedEngine):
         adaptive_k: bool = False,
         k_min: int = 1,
         k_ema_decay: float = 0.9,
-        k_step_cost: float = 0.065,
+        k_step_cost: Optional[float] = None,
         **kwargs,
     ):
         """``adaptive_k``: pick K each step from a small ladder in
         ``[k_min, draft_k]`` to maximize predicted tokens/sec under the
         measured acceptance rate. The predictor is E[tokens]/cost with
         E[tokens] = sum_{i<=K} a^i (chain acceptance at EMA rate ``a``) and
-        cost(K) = 1 + k_step_cost*K. The default is calibrated to the
-        int4-KV serving default (PERF.md round 3: the plain step got faster,
-        so a K=4 round costs 1.26x one step => ~0.065/draft-token); with an
-        int8-KV pool pass ~0.03 (K=4 round = 1.11-1.13x). Each distinct K
+        cost(K) = 1 + k_step_cost*K. ``k_step_cost=None`` derives the
+        constant from the target pool's KV mode (PERF.md round-3
+        calibration): int4-KV makes the plain step faster, so a K=4 round
+        costs 1.26x one step => ~0.065/draft-token; int8/bf16 pools measure
+        1.11-1.13x => ~0.03. Pass a float to override. Each distinct K
         compiles the round program once; the ladder is small so compiles are
         bounded."""
         super().__init__(params, config, **kwargs)
+        if k_step_cost is None:
+            k_step_cost = 0.065 if kwargs.get("quantize_kv") == "int4" else 0.03
         # pp composition (`parallel/pp_spec.py`): the target verify runs the
         # GPipe wavefront with T=K+1; the small draft runs replicated on every
         # stage; rejection math is the shared single-mesh code. Round programs

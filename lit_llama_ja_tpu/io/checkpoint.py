@@ -44,8 +44,76 @@ def _config_from_dict(d: dict):
     return LLaMAConfig(**d)
 
 
+def _tree_has_qweight(tree) -> bool:
+    if isinstance(tree, dict):
+        return "qweight" in tree or any(_tree_has_qweight(v) for v in tree.values())
+    return False
+
+
+def _tree_has_packed_int4(tree, config) -> bool:
+    """True iff any qweight leaf uses the packed-int4 layout (rows == K//2).
+
+    The quantized tree carries only arrays, so bit-width is inferred from
+    shape vs the config's embedding dim (c_attn/c_fc1 have in_features ==
+    n_embd; int8 stores full-K rows)."""
+    if config is None:
+        return _tree_has_qweight(tree)  # conservative: can't rule int4 out
+    half_rows = (config.n_embd // 2, config.n_hidden // 2)
+    found = []
+
+    def visit(node):
+        if isinstance(node, dict):
+            q = node.get("qweight")
+            if q is not None and hasattr(q, "shape"):
+                if q.shape[-2] in half_rows:
+                    found.append(True)
+            for v in node.values():
+                visit(v)
+
+    visit(tree)
+    return bool(found)
+
+
+def _write_quant_format(path: Path, params) -> None:
+    if _tree_has_qweight(params):
+        from lit_llama_ja_tpu.quant.linear import INT4_PACK_VERSION
+
+        (path / "quant_format.json").write_text(
+            json.dumps({"int4_pack": INT4_PACK_VERSION})
+        )
+
+
+def _check_quant_format(path: Path, params, config) -> None:
+    """Refuse to load int4-packed trees whose byte layout predates the current
+    pack format — a v1 checkpoint loads without error and silently dequantizes
+    every odd K-row wrong otherwise (the round-3 biased-high-nibble change)."""
+    if not _tree_has_qweight(params):
+        return
+    from lit_llama_ja_tpu.quant.linear import INT4_PACK_VERSION
+
+    fmt_file = path / "quant_format.json"
+    stored = None
+    if fmt_file.exists():
+        stored = json.loads(fmt_file.read_text()).get("int4_pack")
+    if stored == INT4_PACK_VERSION:
+        return
+    if not _tree_has_packed_int4(params, config):
+        return  # int8-only tree: the pack-format change does not affect it
+    raise ValueError(
+        f"{path} contains packed int4 weights with pack format "
+        f"{stored or 'v1/unstamped'}, but this build reads "
+        f"{INT4_PACK_VERSION!r} (high nibble stored two's-complement biased "
+        "since round 3). Loading it would silently dequantize every odd K-row "
+        "wrong. Migrate it in place with: python tools/repack_int4.py "
+        f"{path}"
+    )
+
+
 def save_checkpoint(path, params, config: Optional[LLaMAConfig] = None) -> None:
-    """Save a param tree (and optionally its config) to ``path`` (a directory)."""
+    """Save a param tree (and optionally its config) to ``path`` (a directory).
+
+    Quantized trees (any ``qweight`` leaf) additionally get a
+    ``quant_format.json`` stamp recording the int4 byte layout version."""
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
@@ -54,6 +122,7 @@ def save_checkpoint(path, params, config: Optional[LLaMAConfig] = None) -> None:
         ckptr.save(path / "params", params, force=True)
     if config is not None:
         (path / "config.json").write_text(json.dumps(dataclasses.asdict(config)))
+    _write_quant_format(path, params)
 
 
 def load_checkpoint(
@@ -87,6 +156,7 @@ def load_checkpoint(
     cfg_file = path / "config.json"
     if cfg_file.exists():
         config = _config_from_dict(json.loads(cfg_file.read_text()))
+    _check_quant_format(path, params, config)
     return params, config
 
 

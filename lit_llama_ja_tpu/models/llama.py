@@ -82,6 +82,24 @@ def init_params(
     }
 
 
+def normalize_kv_mode(value):
+    """Normalize a user-facing KV-cache mode string to ``init_kv_cache``'s
+    ``quantized`` argument: False | "int8" | "int4". Raises on anything else
+    (a typo like ``in4`` must not silently select a different cache)."""
+    if value is None or value is False:
+        return False
+    if value is True:
+        return "int8"
+    v = str(value).lower()
+    if v in ("none", "false", "fp", "bf16", ""):
+        return False
+    if v in ("int8", "int4"):
+        return v
+    raise ValueError(
+        f"unknown KV-cache mode {value!r}; expected one of none|int8|int4"
+    )
+
+
 def init_kv_cache(
     config: LLaMAConfig,
     batch_size: int,

@@ -45,6 +45,16 @@ def infer_bits(qweight: jax.Array, in_features: int) -> int:
 # Packing
 # ---------------------------------------------------------------------------
 
+# On-disk format tag for the int4 byte layout below. v1 (rounds 1-2, tag
+# absent) stored BOTH nibbles plain; v2 (round 3+) stores the high nibble
+# two's-complement biased. The quantized tree itself is deliberately
+# metadata-free (ONLY arrays, see module docstring) so the tag travels in the
+# checkpoint directory (`io/checkpoint.save_checkpoint` writes
+# quant_format.json; the loader refuses int4 trees with a missing/mismatched
+# tag — `tools/repack_int4.py` migrates v1 checkpoints in place).
+INT4_PACK_VERSION = "hi-biased-v2"
+
+
 def pack_int4(q: jax.Array) -> jax.Array:
     """Pack unsigned 4-bit levels ``(K, N)`` -> uint8 ``(K//2, N)``.
 
@@ -63,12 +73,14 @@ def pack_int4(q: jax.Array) -> jax.Array:
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """uint8 ``(K//2, N)`` -> unsigned levels ``(K, N)`` uint8 (inverse of
-    `pack_int4`, including the biased high nibble)."""
+    """uint8 ``(..., K//2, N)`` -> unsigned levels ``(..., K, N)`` uint8
+    (inverse of `pack_int4`, including the biased high nibble; leading batch
+    dims, e.g. a stacked layer axis, pass through)."""
     lo = packed & 0xF
     hi = ((packed >> 4) + 8) & 0xF
-    K2, N = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
+    K2, N = packed.shape[-2:]
+    lead = packed.shape[:-2]
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, K2 * 2, N)
 
 
 # ---------------------------------------------------------------------------
