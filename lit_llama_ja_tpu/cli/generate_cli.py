@@ -14,10 +14,13 @@ import numpy as np
 def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
     """Load a model from a native orbax dir, a lit `.pth`, or a PEFT npz combo.
 
-    ``quantize`` in {None, "llm.int8", "gptq.int4", "gptq.int8"}: llm.int8 quantizes
-    weight-only at load (like the reference's load-time requantization,
-    `lit_llama/quantization.py:50-65`); gptq.* expects an already-calibrated
-    checkpoint (or quantizes RTN as fallback with a warning).
+    ``quantize`` in {None, "llm.int8", "llm.int8-rtn", "gptq.int4", "gptq.int8"}:
+    llm.int8 quantizes weight-only at load (like the reference's load-time
+    requantization, `lit_llama/quantization.py:50-65`) with the bf16 outlier-
+    channel decomposition of `quant/linear.quantize_int8_outlier` (the
+    reference Linear8bitLt semantics); "llm.int8-rtn" is the plain absmax
+    scheme. gptq.* expects an already-calibrated checkpoint (or quantizes RTN
+    as fallback with a warning).
     """
     from lit_llama_ja_tpu.core.config import LLaMAConfig
     from lit_llama_ja_tpu.io.checkpoint import load_checkpoint
@@ -46,12 +49,12 @@ def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
         params, config = load_lit_checkpoint(path)
         params = jax.tree.map(jnp.asarray, params)
 
-    if quantize == "llm.int8":
+    if quantize in ("llm.int8", "llm.int8-rtn"):
         from lit_llama_ja_tpu.quant.pipeline import int8_quantize_model
 
         already = "qweight" in params["blocks"]["attn"]["c_attn"]
         if not already:
-            params = int8_quantize_model(params)
+            params = int8_quantize_model(params, outliers=quantize == "llm.int8")
     elif quantize in ("gptq.int4", "gptq.int8"):
         already = "qweight" in params["blocks"]["attn"]["c_attn"]
         if not already:

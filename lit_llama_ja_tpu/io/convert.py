@@ -69,9 +69,14 @@ def lit_state_dict_to_native(
         from lit_llama_ja_tpu.quant.linear import (
             quantize_colblock,
             quantize_int8_absmax,
+            quantize_int8_outlier,
         )
 
         if quantize == "llm.int8":
+            # outlier-aware by default (the reference Linear8bitLt semantics);
+            # "llm.int8-rtn" keeps the plain absmax scheme for A/B
+            _qfn = quantize_int8_outlier
+        elif quantize == "llm.int8-rtn":
             _qfn = quantize_int8_absmax
         elif quantize in ("gptq.int4", "gptq.int8"):
             bits = 4 if quantize.endswith("int4") else 8

@@ -27,16 +27,18 @@ PARAM_RULES = (
     (r"^lm_head/weight$", P("fsdp", "tp")),
     # fused qkv (L, D, 3D): column-parallel
     (r"blocks/attn/c_attn/(weight|qweight)$", P(None, "fsdp", "tp")),
-    (r"blocks/attn/c_attn/(scales|zeros)$", P(None, None, "tp")),
+    (r"blocks/attn/c_attn/(scales|zeros|outlier_w)$", P(None, None, "tp")),
     # attn out-proj (L, D, D): row-parallel
     (r"blocks/attn/c_proj/(weight|qweight)$", P(None, "tp", "fsdp")),
-    (r"blocks/attn/c_proj/(scales|zeros)$", P(None, None, "fsdp")),
+    (r"blocks/attn/c_proj/(scales|zeros|outlier_w)$", P(None, None, "fsdp")),
     # mlp up projections (L, D, H): column-parallel
     (r"blocks/mlp/c_fc[12]/(weight|qweight)$", P(None, "fsdp", "tp")),
-    (r"blocks/mlp/c_fc[12]/(scales|zeros)$", P(None, None, "tp")),
+    (r"blocks/mlp/c_fc[12]/(scales|zeros|outlier_w)$", P(None, None, "tp")),
     # mlp down projection (L, H, D): row-parallel
     (r"blocks/mlp/c_proj/(weight|qweight)$", P(None, "tp", "fsdp")),
-    (r"blocks/mlp/c_proj/(scales|zeros)$", P(None, None, "fsdp")),
+    (r"blocks/mlp/c_proj/(scales|zeros|outlier_w)$", P(None, None, "fsdp")),
+    # int8 outlier row indices (L, n_out): tiny, replicate
+    (r"outlier_idx$", P()),
     # MoE stacked experts (models/moe.py): expert axis over fsdp, in-expert
     # hidden dim over tp (mirrors the dense mlp col/row split); router
     # replicates (tiny, f32). A dedicated 'ep' axis instead uses

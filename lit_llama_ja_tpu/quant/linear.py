@@ -103,6 +103,39 @@ def quantize_int8_absmax(w: jax.Array) -> Dict[str, jax.Array]:
     }
 
 
+def quantize_int8_outlier(w: jax.Array, outlier_frac: float = 0.005) -> Dict[str, jax.Array]:
+    """Outlier-aware LLM.int8: mixed-precision on the ~0.5% most scale-setting
+    input channels (reference `Linear8bitLt`'s threshold-6.0 decomposition,
+    `lit_llama/quantization.py:36-75`, bitsandbytes semantics).
+
+    TPU-native redesign of the outlier split: bnb selects outlier columns of
+    the ACTIVATION at runtime (data-dependent shapes — jit-hostile on XLA).
+    Here the outlier set is chosen once at quantize time from the weights —
+    the input channels that set (or nearly set) the per-output-channel absmax
+    scales. Those rows are kept in bf16 (``outlier_w``, gathered by
+    ``outlier_idx``) and ZEROED in the int8 tensor before scaling, so the
+    remaining bulk quantizes against strictly smaller scales. Shapes stay
+    static; the bulk still streams through the int8 Pallas kernel.
+
+    w: ``(K, N)`` float -> {qweight int8, scales, zeros, outlier_idx (n_out,),
+    outlier_w (n_out, N) bf16}.
+    """
+    w = jnp.asarray(w)
+    K, N = w.shape
+    n_out = max(1, int(round(outlier_frac * K)))
+    absw = jnp.abs(w)
+    col_absmax = jnp.maximum(absw.max(axis=0, keepdims=True), 1e-12)
+    # how close each row comes to setting any column's scale
+    score = (absw / col_absmax).max(axis=1)
+    idx = jax.lax.top_k(score, n_out)[1].astype(jnp.int32)
+    outlier_w = w[idx].astype(jnp.bfloat16)
+    bulk = w.at[idx].set(0.0)
+    out = quantize_int8_absmax(bulk)
+    out["outlier_idx"] = idx
+    out["outlier_w"] = outlier_w
+    return out
+
+
 def find_qparams(w: jax.Array, bits: int, sym: bool = False):
     """Per-output-channel (axis=-1 of (K, N)) scale/zero over the K axis.
 
@@ -189,9 +222,12 @@ def dequantize_with_k(
     else:
         levels = qweight.astype(jnp.float32)
     K = in_features
-    return (
-        (levels - _expand_tiles(zeros, K)) * _expand_tiles(scales, K)
-    ).astype(dtype)
+    w = (levels - _expand_tiles(zeros, K)) * _expand_tiles(scales, K)
+    if "outlier_w" in params:
+        w = w.at[params["outlier_idx"]].set(
+            params["outlier_w"].astype(w.dtype)
+        )
+    return w.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -227,13 +263,19 @@ def quant_matmul(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
 
         bits = infer_bits(params["qweight"], K)
         if bits == 4:
-            return quant_matmul_int4(
+            y = quant_matmul_int4(
                 x, params["qweight"], params["scales"], params["zeros"],
                 out_dtype=x.dtype,
             )
-        return quant_matmul_int8(
-            x, params["qweight"], params["scales"], params["zeros"],
-            out_dtype=x.dtype,
-        )
+        else:
+            y = quant_matmul_int8(
+                x, params["qweight"], params["scales"], params["zeros"],
+                out_dtype=x.dtype,
+            )
+        if "outlier_w" in params:
+            # mixed-precision outlier term (quantize_int8_outlier): a thin
+            # bf16 gather-matmul on ~0.5% of K, fused by XLA around the kernel
+            y = y + x[..., params["outlier_idx"]] @ params["outlier_w"].astype(x.dtype)
+        return y
     w = dequantize_with_k(params, K, dtype=x.dtype)
     return x @ w

@@ -156,19 +156,33 @@ def gptq_quantize_model(
     return new_params
 
 
-def int8_quantize_model(params, quantize_lm_head: bool = True):
+def int8_quantize_model(params, quantize_lm_head: bool = True, outliers: bool = True):
     """LLM.int8-style weight-only quantization of all Linears (no calibration needed,
-    reference `quantize/gptq.py:170` note). Pure round-to-nearest absmax per channel."""
-    from lit_llama_ja_tpu.quant.linear import quantize_int8_absmax
+    reference `quantize/gptq.py:170` note).
+
+    ``outliers=True`` (default, the reference `Linear8bitLt` bnb semantics) keeps
+    the ~0.5% scale-setting input channels in bf16 and int8-quantizes the bulk
+    against the reduced scales (`quant/linear.quantize_int8_outlier`);
+    ``outliers=False`` is plain round-to-nearest absmax per channel."""
+    from lit_llama_ja_tpu.quant.linear import (
+        quantize_int8_absmax,
+        quantize_int8_outlier,
+    )
+
+    if outliers:
+        qfn = lambda w: jax.vmap(quantize_int8_outlier)(w) if w.ndim == 3 \
+            else quantize_int8_outlier(w)
+    else:
+        qfn = quantize_int8_absmax
 
     new = jax.tree.map(lambda a: a, params)
     new = _to_mutable(new)
     for name in SUBMODULES:
         leaf = _get(new["blocks"], name)
-        leaf_q = quantize_int8_absmax(leaf["weight"])
+        leaf_q = qfn(leaf["weight"])
         _set(new["blocks"], name, {k: v for k, v in leaf_q.items()})
     if quantize_lm_head:
-        new["lm_head"] = dict(quantize_int8_absmax(new["lm_head"]["weight"]))
+        new["lm_head"] = dict(qfn(new["lm_head"]["weight"]))
     return new
 
 

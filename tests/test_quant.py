@@ -149,6 +149,52 @@ def test_int8_model_quality(rng):
     assert np.abs(base - quant).max() < 0.1 * (np.abs(base).max() + 1)
 
 
+def test_int8_outlier_reduces_error(rng):
+    """Outlier-aware llm.int8: the bf16 outlier split must beat plain absmax
+    RTN on weights with heavy-tailed rows (the regime bnb's threshold-6.0
+    decomposition targets, reference `lit_llama/quantization.py:36-75`)."""
+    from lit_llama_ja_tpu.quant.linear import quantize_int8_outlier
+
+    w = rng.standard_normal((256, 32)).astype(np.float32)
+    # plant outliers: 2 rows with 30x magnitude (they set every column scale)
+    w[7] *= 30
+    w[101] *= 30
+    wj = jnp.asarray(w)
+    plain = np.asarray(dequantize_with_k(quantize_int8_absmax(wj), 256))
+    p = quantize_int8_outlier(wj, outlier_frac=0.01)
+    mixed = np.asarray(dequantize_with_k(p, 256))
+    # the planted rows must be selected and reproduced at bf16 precision
+    assert {7, 101} <= set(np.asarray(p["outlier_idx"]).tolist())
+    assert np.abs(mixed[7] - w[7]).max() <= np.abs(w[7]).max() * 2**-8
+    # and the bulk error shrinks by roughly the scale reduction (~30x)
+    bulk = np.ones(256, bool)
+    bulk[np.asarray(p["outlier_idx"])] = False
+    assert np.abs(mixed[bulk] - w[bulk]).max() < 0.2 * np.abs(plain[bulk] - w[bulk]).max()
+
+
+def test_int8_outlier_model_forward(rng):
+    """End-to-end: outlier llm.int8 tracks fp32 logits at least as well as
+    plain RTN, and the quantized tree stays jit/pjit-clean (arrays only)."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    q_out = int8_quantize_model(params, outliers=True)
+    q_rtn = int8_quantize_model(params, outliers=False)
+    leaf = q_out["blocks"]["attn"]["c_attn"]
+    assert leaf["outlier_w"].dtype == jnp.bfloat16
+    assert leaf["outlier_idx"].shape[0] == CFG.n_layer  # stacked layer axis
+    idx = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 8)), jnp.int32)
+    base = np.asarray(forward(params, idx, CFG))
+    err_out = np.abs(base - np.asarray(forward(q_out, idx, CFG))).max()
+    err_rtn = np.abs(base - np.asarray(forward(q_rtn, idx, CFG))).max()
+    assert err_out <= err_rtn * 1.05
+    # sharding specs cover the new leaves
+    from jax.sharding import PartitionSpec as P
+
+    from lit_llama_ja_tpu.parallel.specs import PARAM_RULES, _match
+
+    assert _match("blocks/attn/c_attn/outlier_w", PARAM_RULES) == P(None, None, "tp")
+    assert _match("blocks/attn/c_attn/outlier_idx", PARAM_RULES) == P()
+
+
 def test_gptq_pipeline_end_to_end(rng):
     params = init_params(jax.random.PRNGKey(1), CFG)
     calib = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(4, 16)), jnp.int32)

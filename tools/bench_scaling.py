@@ -27,7 +27,16 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("train", "decode", "both"), default="both")
+    ap.add_argument(
+        "--mode", choices=("train", "decode", "serve", "both", "all"), default="both"
+    )
+    ap.add_argument(
+        "--serve-layout", default="tp,pp_tp",
+        help="comma list of mesh layouts for --mode serve at n>1: "
+        "tp (GSPMD tensor parallel), pp (pipeline), pp_tp (pp=2 x tp=n/2)",
+    )
+    ap.add_argument("--serve-kv", default="int4", help="serving KV mode (none|int8|int4)")
+    ap.add_argument("--json-out", default=None, help="write the results dict to this file")
     ap.add_argument("--model", default="tiny", help="'tiny' | config name (19M, 7B, ...)")
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--max-devices", type=int, default=0, help="0 = all")
@@ -83,7 +92,7 @@ def main():
         return (time.perf_counter() - t0) / args.steps
 
     results = {}
-    if args.mode in ("train", "both"):
+    if args.mode in ("train", "both", "all"):
         base = None
         for n in points:
             tp = args.tp if n % args.tp == 0 and n >= args.tp else 1
@@ -116,7 +125,7 @@ def main():
             )
             print(json.dumps({"bench": "scaling-train", **results[f"train_n{n}"]}), flush=True)
 
-    if args.mode in ("decode", "both"):
+    if args.mode in ("decode", "both", "all"):
         from lit_llama_ja_tpu.models.llama import forward_with_cache, init_kv_cache
 
         seq = args.seq or config.block_size
@@ -162,9 +171,89 @@ def main():
             )
             print(json.dumps({"bench": "scaling-decode", **results[f"decode_n{n}"]}), flush=True)
 
+    if args.mode in ("serve", "all"):
+        # The engine that actually serves (VERDICT r3 item 5): PagedEngine in
+        # steady-state continuous-batching decode, slots-per-device constant.
+        from lit_llama_ja_tpu.infer.paged import PagedEngine
+        from lit_llama_ja_tpu.models.llama import normalize_kv_mode
+
+        kv = normalize_kv_mode(args.serve_kv)
+        layouts = [l.strip() for l in args.serve_layout.split(",")]
+        seq = args.seq or config.block_size
+        prompt_len = min(32, max(8, seq // 8))
+        base = None
+        for n in points:
+            for layout in (["single"] if n == 1 else layouts):
+                if layout == "pp_tp" and n < 4:
+                    continue  # pp=2 x tp=n/2 needs n>=4 to differ from pp
+                B = args.slots * n
+                n_pages = B * (-(-seq // 16)) + 9  # page_size 16, +trash/slack
+                common = dict(
+                    max_batch=B, n_pages=n_pages, page_size=16,
+                    max_pages_per_slot=-(-seq // 16), quantize_kv=kv,
+                    seed=0,
+                )
+                eparams = llama.init_params(jax.random.PRNGKey(0), config)
+                if layout in ("pp", "pp_tp"):
+                    pp = n if layout == "pp" else 2
+                    tp = 1 if layout == "pp" else n // 2
+                    mesh = make_mesh(
+                        dp=1, fsdp=1, tp=tp, pp=pp, devices=jax.devices()[:n]
+                    )
+                    engine = PagedEngine(
+                        eparams, config, pp_mesh=mesh,
+                        pp_microbatches=max(pp, 2), **common,
+                    )
+                elif layout == "tp":
+                    mesh = make_mesh(dp=1, fsdp=1, tp=n, devices=jax.devices()[:n])
+                    engine = PagedEngine(
+                        shard_params(eparams, mesh), config, **common
+                    )
+                else:
+                    engine = PagedEngine(eparams, config, **common)
+                rng = np.random.default_rng(0)
+                gen_budget = seq - prompt_len - 1
+                assert args.steps + 4 < gen_budget, (
+                    f"--steps {args.steps} exceeds the per-slot token budget "
+                    f"{gen_budget} at --seq {seq}; raise --seq"
+                )
+                for _ in range(B):
+                    engine.add_request(
+                        rng.integers(1, config.vocab_size, prompt_len),
+                        max_new_tokens=gen_budget,
+                    )
+                # drain prefills + warm the decode program
+                for _ in range(4):
+                    engine.step()
+                assert len(engine._decoding()) == B, "slots failed to activate"
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    engine.step()
+                t = (time.perf_counter() - t0) / args.steps
+                eff = 1.0 if base is None else base / t
+                if base is None:
+                    base = t
+                key = f"serve_{layout}_n{n}"
+                results[key] = dict(
+                    n=n, layout=layout, slots=B, kv=args.serve_kv,
+                    ms_per_step=round(t * 1e3, 2),
+                    aggregate_tokens_per_sec=round(B / t, 1),
+                    efficiency=round(eff, 4),
+                )
+                print(json.dumps({"bench": "scaling-serve", **results[key]}), flush=True)
+
     print("\nmesh efficiency vs 1 device (weak scaling, ideal = 1.0):")
     for k, v in results.items():
         print(f"  {k:12s} n={v['n']:2d}  {v['ms_per_step']:8.2f} ms/step  eff={v['efficiency']:.3f}")
+    if args.json_out:
+        import sys
+
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {"argv": sys.argv[1:], "model": args.model, "results": results},
+                f, indent=1,
+            )
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":
