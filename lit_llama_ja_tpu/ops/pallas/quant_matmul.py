@@ -89,6 +89,29 @@ def _qmm4_kernel(
         lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int8)  # q_lo, plain
         hi = (w8 & jnp.uint8(0xF0)).astype(jnp.int8)  # 16·(q_hi − 8), exact
         w32 = None
+    elif unpack == "int8dot_bias_bc":
+        # Same values via same-width BITCASTS instead of u8→i8 converts
+        # (lo < 128 reinterprets to itself; hi's mod-256 wrap IS the wanted
+        # 16·(q_hi − 8)). Probe harness showed converts cost real VPU time
+        # (tools/bench_unpack_probe.py i8dot_bc vs i8dot_hoist); A/B in the
+        # production kernel via this variant.
+        w8 = w_ref[:]
+        lo = jax.lax.bitcast_convert_type(w8 & jnp.uint8(0x0F), jnp.int8)
+        hi = jax.lax.bitcast_convert_type(w8 & jnp.uint8(0xF0), jnp.int8)
+        w32 = None
+    elif unpack == "int8dot_fused":
+        # Single-dot variant (round 4): put BOTH planes in units of 16 centered
+        # at zero, so the even/odd contributions accumulate in ONE int8 MXU dot
+        # over a (2·bk, bn) operand. The low plane needs 16·(q_lo − 8) in int8;
+        # this Mosaic has NO sub-32-bit mul/shift/add (all probe-crash), so the
+        # only route is the i32 detour: expand, shift into the high-nibble
+        # position, narrow back to i8 (i32→i8 casts are supported).
+        w8 = w_ref[:]
+        lo = (
+            ((w8.astype(jnp.int32) & 0xF) - 8) << 4
+        ).astype(jnp.int8)  # 16·(q_lo − 8) ∈ [−128, 112]: in-range, no wrap
+        hi = (w8 & jnp.uint8(0xF0)).astype(jnp.int8)  # 16·(q_hi − 8)
+        w32 = None
     elif unpack == "bf16_u8":
         w8 = w_ref[:]
         lo = (w8 & jnp.uint8(0x0F)).astype(jnp.int16).astype(jnp.bfloat16)
@@ -101,7 +124,7 @@ def _qmm4_kernel(
         w32 = None
     else:
         w32 = w_ref[:].astype(jnp.int32)
-    if unpack in ("int8dot_bias", "bf16_u8"):
+    if unpack in ("int8dot_bias", "int8dot_bias_bc", "int8dot_fused", "bf16_u8"):
         pass
     elif unpack == "int8dot":
         # both nibbles zero-centered to [-8, 7] int8; the stored high nibble
@@ -140,7 +163,7 @@ def _qmm4_kernel(
         gi = k * groups_per_tile + g  # global group row (s/z passed whole)
         s_row = s_ref[pl.ds(gi, 1), :]
         z_row = z_ref[pl.ds(gi, 1), :]
-        if unpack in ("int8dot", "int8dot_bias"):
+        if unpack in ("int8dot", "int8dot_bias", "int8dot_bias_bc", "int8dot_fused"):
             # Dynamic per-(row, group) activation int8 quantization. The whole
             # chain — absmax, round, the two int8 dots' correction — is
             # self-consistent: output == Σ x̂ (q − z) s with x̂ the int8-rounded
@@ -161,7 +184,18 @@ def _qmm4_kernel(
             sxo = jnp.sum(xq_o.astype(jnp.int32), axis=1, keepdims=True).astype(
                 jnp.float32
             )
-            if unpack == "int8dot_bias":
+            if unpack == "int8dot_fused":
+                # both planes hold 16·(q − 8): one dot over the stacked
+                # (2·sub, bn) operand, then
+                #   Σ x̂(q − z)s = (D/16 − (sxe + sxo)(z − 8)) · s / rsx
+                xq = jnp.concatenate([xq_e, xq_o], axis=1)
+                wc = jnp.concatenate([lo[sl], hi[sl]], axis=0)
+                d = jnp.dot(xq, wc, preferred_element_type=jnp.int32)
+                part = (
+                    d.astype(jnp.float32) * 0.0625
+                    - (sxe + sxo) * (z_row - 8.0)
+                ) * (s_row / rsx)
+            elif unpack in ("int8dot_bias", "int8dot_bias_bc"):
                 # lo holds q_lo (dot D_e), hi holds 16·(q_hi − 8) (dot D_o):
                 #   Σ x̂e(q_lo − z)s + Σ x̂o(q_hi − z)s
                 #     = (D_e + D_o/16 − (sxe + sxo)·z + 8·sxo) · s · sx
@@ -283,7 +317,10 @@ def _plan_tiles(Kq: int, n_groups: int, block_k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret", "unpack"),
+    static_argnames=(
+        "block_m", "block_n", "block_k", "out_dtype", "interpret", "unpack",
+        "vmem_limit_mb",
+    ),
 )
 def quant_matmul_int4(
     x: jax.Array,  # (..., K)
@@ -301,6 +338,7 @@ def quant_matmul_int4(
     # for prefill. Explicit values: "bf16" | "bf16_u8" | "f32dot" | "arith" |
     # "arith_bf16" | "int8dot" | "int8dot_bias" (see _qmm4_kernel).
     unpack: Optional[str] = None,
+    vmem_limit_mb: Optional[int] = None,  # None = auto (64 MB for decode M)
 ):
     """Fused int4 dequant matmul: ``x @ dequant(qweight)``.
 
@@ -320,6 +358,12 @@ def quant_matmul_int4(
 
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    if vmem_limit_mb is None:
+        # Per-grid-iteration overhead is ~1-2 µs on this toolchain (round-4
+        # probe: independent VPU/MXU chains overlap fine; iteration count is
+        # what costs) — fewer, larger k-tiles win once the default 16 MB
+        # scoped-VMEM limit is raised. Decode uses 64 MB (v5e VMEM is 128).
+        vmem_limit_mb = 64 if M <= 64 else None
     if unpack is None:
         # decode/GEMV: W4A8 int8-operand unpack, measured 365 GB/s weight
         # stream vs 317 for the exact-bf16 unpack (tools/bench_gemv_sweep.py,
@@ -362,12 +406,18 @@ def quant_matmul_int4(
 
     n_tiles = s_tiled.shape[0]
     grid = (Mp // bm, pl.cdiv(N, bn), n_k)
+    compiler_params = None
+    if vmem_limit_mb is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+        )
     out = pl.pallas_call(
         functools.partial(
             _qmm4_kernel, n_k=n_k, groups_per_tile=gpt, unpack=unpack
         ),
         grid=grid,
         interpret=interpret,
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),

@@ -109,7 +109,9 @@ def test_int4_unpack_variants_match(rng, unpack):
     np.testing.assert_allclose(got, base, atol=np.abs(base).max() * 1e-6)
 
 
-@pytest.mark.parametrize("variant", ["int8dot", "int8dot_bias"])
+@pytest.mark.parametrize(
+    "variant", ["int8dot", "int8dot_bias", "int8dot_bias_bc", "int8dot_fused"]
+)
 @pytest.mark.parametrize("groups", [1, 4])
 @pytest.mark.parametrize("M", [1, 5])
 def test_int4_int8dot_close_to_exact(rng, M, groups, variant):

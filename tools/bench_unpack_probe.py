@@ -102,6 +102,65 @@ def body_i8dot(w8, xe, xo):
     return d.astype(jnp.float32) * (1.0 / 127.0)
 
 
+def body_i8dot_noand(w8, xe, xo):
+    # ONE u8→i8 cast, no ANDs, TWO dots on the same converted tile (wrong
+    # math): isolates the two ANDs' cost vs i8dot_hoist
+    wv = w8.astype(jnp.int8)
+    xq_e = xe.astype(jnp.int8)
+    xq_o = xo.astype(jnp.int8)
+    d = jnp.dot(xq_e, wv, preferred_element_type=jnp.int32) + jnp.dot(
+        xq_o, wv, preferred_element_type=jnp.int32
+    )
+    return d.astype(jnp.float32) * (1.0 / 127.0)
+
+
+def body_i8dot_1dot(w8, xe, xo):
+    # ONE cast + ONE int8 dot (1 value/byte through the MXU): the int8-kernel
+    # workload at int4 byte width with int8 operands
+    wv = w8.astype(jnp.int8)
+    xq_e = xe.astype(jnp.int8)
+    d = jnp.dot(xq_e, wv, preferred_element_type=jnp.int32)
+    return d.astype(jnp.float32) * (1.0 / 127.0)
+
+
+# "mxu*" bodies run with a CONSTANT w block (index map ignores k): the tile is
+# DMA'd once and revisited, so NO HBM weight streaming happens — these measure
+# the pure VPU-cast + MXU-ingest pipeline at GEMV M. The reported "GB/s packed"
+# is the EQUIVALENT packed-byte rate for comparability with the DMA probes.
+def body_mxu2dot(w8, xe, xo):
+    return body_i8dot_noand(w8, xe, xo)
+
+
+def body_mxu1dot(w8, xe, xo):
+    return body_i8dot_1dot(w8, xe, xo)
+
+
+def body_i8dot_bc(w8, xe, xo):
+    # the int8dot_bias unpack with BITCASTS instead of u8→i8 casts (exact:
+    # lo < 128 bitcasts to itself; hi's wrap IS the wanted 16·(q_hi − 8))
+    from jax import lax
+    lo = lax.bitcast_convert_type(w8 & jnp.uint8(0x0F), jnp.int8)
+    hi = lax.bitcast_convert_type(w8 & jnp.uint8(0xF0), jnp.int8)
+    xq_e = xe.astype(jnp.int8)
+    xq_o = xo.astype(jnp.int8)
+    d = jnp.dot(xq_e, lo, preferred_element_type=jnp.int32) + jnp.dot(
+        xq_o, hi, preferred_element_type=jnp.int32
+    )
+    return d.astype(jnp.float32) * (1.0 / 127.0)
+
+
+def body_mxu2dot_bc(w8, xe, xo):
+    return body_i8dot_bc(w8, xe, xo)
+
+
+def body_mxu2dot_bf16(w8, xe, xo):
+    # bf16-operand ingest ceiling (2 bytes/value through the MXU), no DMA
+    wv = w8.astype(jnp.int16).astype(jnp.bfloat16)
+    return jnp.dot(xe, wv, preferred_element_type=jnp.float32) + jnp.dot(
+        xo, wv, preferred_element_type=jnp.float32
+    )
+
+
 BODIES = {
     "onecast": body_onecast,
     "onedot": body_onedot,
@@ -110,10 +169,17 @@ BODIES = {
     "i16dot": body_i16dot,
     "i8dot": body_i8dot,
     "i8dot_hoist": body_i8dot_hoist,
+    "i8dot_noand": body_i8dot_noand,
+    "i8dot_1dot": body_i8dot_1dot,
+    "i8dot_bc": body_i8dot_bc,
+    "mxu2dot_bc": body_mxu2dot_bc,
+    "mxu2dot": body_mxu2dot,
+    "mxu1dot": body_mxu1dot,
+    "mxu2dot_bf16": body_mxu2dot_bf16,
 }
 
 
-def make_qmm(body, bk=512, bn=4096):
+def make_qmm(body, bk=512, bn=4096, const_w=False):
     def kernel(xe_ref, xo_ref, w_ref, o_ref, acc_ref, *, n_k):
         k = pl.program_id(2)
 
@@ -149,7 +215,11 @@ def make_qmm(body, bk=512, bn=4096):
             in_specs=[
                 pl.BlockSpec((bm, bk_), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bm, bk_), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bk_, bn_), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (bk_, bn_),
+                    (lambda i, j, k: (0, j)) if const_w else (lambda i, j, k: (k, j)),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec((bm, bn_), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bm, N), jnp.float32),
@@ -158,6 +228,9 @@ def make_qmm(body, bk=512, bn=4096):
                 flops=2 * bm * Khalf * 2 * N,
                 bytes_accessed=Khalf * N,
                 transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
             ),
         )(xe, xo, qweight)
 
@@ -169,6 +242,8 @@ def main():
     ap.add_argument("--bodies", type=str, default=",".join(BODIES))
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--iters", type=int, default=7)
+    ap.add_argument("--bk", type=int, default=512)
+    ap.add_argument("--bn", type=int, default=4096)
     args = ap.parse_args()
 
     key = jax.random.PRNGKey(0)
@@ -184,7 +259,9 @@ def main():
     x0 = jnp.ones((1, 4096), jnp.bfloat16)
 
     for name in args.bodies.split(","):
-        qmm = make_qmm(BODIES[name])
+        qmm = make_qmm(
+            BODIES[name], bk=args.bk, bn=args.bn, const_w=name.startswith("mxu")
+        )
 
         def one_pass(x):
             outs = []
