@@ -30,7 +30,7 @@ def bucket_length(n: int, minimum: int = 16) -> int:
     return b
 
 
-def _cached_forward(params, idx, input_pos, cache, config):
+def _cached_forward(params, idx, input_pos, cache, config, prefill_attn=False):
     """Dispatch the incremental forward on the config class: MoE checkpoints
     (config.json carries expert fields → `models/moe.MoEConfig`) decode
     through the sparse-MLP path; dense configs through `llama`. The config is
@@ -38,8 +38,12 @@ def _cached_forward(params, idx, input_pos, cache, config):
     from lit_llama_ja_tpu.models.moe import MoEConfig, forward_moe_with_cache
 
     if isinstance(config, MoEConfig):
-        return forward_moe_with_cache(params, idx, input_pos, cache, config)
-    return forward_with_cache(params, idx, input_pos, cache, config)
+        return forward_moe_with_cache(
+            params, idx, input_pos, cache, config, prefill_attn=prefill_attn
+        )
+    return forward_with_cache(
+        params, idx, input_pos, cache, config, prefill_attn=prefill_attn
+    )
 
 
 @partial(
@@ -71,7 +75,8 @@ def _generate_jit(
     # masked by position until overwritten by decode steps.
     input_pos = jnp.arange(P, dtype=jnp.int32)
     logits, cache = _cached_forward(
-        params, padded_prompt[None, :], input_pos, cache, config
+        params, padded_prompt[None, :], input_pos, cache, config,
+        prefill_attn=True,  # empty cache: causal over in-flight k/v (TTFT)
     )
     # logits of the *last real* prompt token
     last_logits = jax.lax.dynamic_index_in_dim(

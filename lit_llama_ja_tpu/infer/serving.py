@@ -195,7 +195,8 @@ def _prefill_slot(
     }
     input_pos = jnp.arange(padded_prompt.shape[0], dtype=jnp.int32)
     logits, cache_slot = forward_with_cache(
-        params, padded_prompt[None], input_pos, cache_slot, config
+        params, padded_prompt[None], input_pos, cache_slot, config,
+        prefill_attn=True,  # slot region starts empty
     )
     cache = {
         k: jax.lax.dynamic_update_slice_in_dim(

@@ -184,8 +184,12 @@ def speculative_generate(
     dcache = init_kv_cache(dcfg, 1, S, cache_dtype)
     padded = jnp.zeros((P,), jnp.int32).at[:T].set(prompt)
     input_pos = jnp.arange(P, dtype=jnp.int32)
-    tlogits, tcache = forward_with_cache(tparams, padded[None], input_pos, tcache, tcfg)
-    _, dcache = forward_with_cache(dparams, padded[None], input_pos, dcache, dcfg)
+    tlogits, tcache = forward_with_cache(
+        tparams, padded[None], input_pos, tcache, tcfg, prefill_attn=True
+    )
+    _, dcache = forward_with_cache(
+        dparams, padded[None], input_pos, dcache, dcfg, prefill_attn=True
+    )
 
     key, sub = jax.random.split(key)
     first_dist = _dist(tlogits[0, T - 1], temperature, top_k, top_p)

@@ -214,6 +214,7 @@ def attention_block(
     input_pos: Optional[jax.Array] = None,
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
+    prefill_attn: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Causal self-attention (reference `lit_llama/model.py:178-243`).
 
@@ -272,7 +273,16 @@ def attention_block(
             for key, val in writes.items()
         }
 
-        if int4:
+        if prefill_attn:
+            # Prefill-from-empty (static caller promise: span starts at
+            # position 0 on a zero cache): nothing useful is cached yet, so
+            # attend causally over the in-flight bf16 k/v instead of reading
+            # the S-wide (possibly quantized) cache for every row. Exact for
+            # fp caches; for quantized caches the prefill logits become
+            # MORE accurate (decode steps still read quantized K/V). Round-4
+            # TTFT measurement: 531 → ~410 ms at T=2048 under int4-KV.
+            y = causal_attention(q, k, v)
+        elif int4:
             y = decode_attention_quant4(
                 q, cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
                 write_pos,
@@ -309,6 +319,7 @@ def transformer_block(
     input_pos=None,
     dropout_rng=None,
     dropout_rate=0.0,
+    prefill_attn=False,
 ):
     """Pre-norm residual block (reference `lit_llama/model.py:154-175`)."""
     h, new_cache = attention_block(
@@ -320,6 +331,7 @@ def transformer_block(
         input_pos,
         dropout_rng,
         dropout_rate,
+        prefill_attn=prefill_attn,
     )
     x = x + h
     x = x + mlp_block(
@@ -390,13 +402,14 @@ def forward(
     return apply_linear(params["lm_head"], x)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "prefill_attn"))
 def forward_with_cache(
     params: Params,
     idx: jax.Array,
     input_pos: jax.Array,
     kv_cache: KVCache,
     config: LLaMAConfig,
+    prefill_attn: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Incremental forward with KV cache (reference `lit_llama/model.py:101-123`).
 
@@ -404,6 +417,12 @@ def forward_with_cache(
       idx: ``(B, T)`` token ids occupying absolute positions ``input_pos`` (``(T,)``,
         contiguous). Prefill passes ``arange(T)``; decode passes ``[t]``.
       kv_cache: pytree from `init_kv_cache`; returned updated.
+      prefill_attn: static caller promise that this call is a prefill from an
+        EMPTY cache (``input_pos`` starts at 0): attention runs causally over
+        the in-flight bf16 k/v instead of reading the S-wide (possibly
+        quantized) cache per row. Exact for fp caches; sharper-than-served
+        logits for quantized ones. Do NOT set for mid-stream spans
+        (speculative verify, teacher-forced eval windows).
     Returns:
       (logits ``(B, T, V)``, new kv_cache).
     """
@@ -413,7 +432,8 @@ def forward_with_cache(
     def body(x, layer_in):
         block_params, cache_l = layer_in
         x, cache_l = transformer_block(
-            block_params, x, rope, config, kv_cache=cache_l, input_pos=input_pos
+            block_params, x, rope, config, kv_cache=cache_l, input_pos=input_pos,
+            prefill_attn=prefill_attn,
         )
         return x, cache_l
 

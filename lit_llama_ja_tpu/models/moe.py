@@ -214,6 +214,7 @@ def moe_transformer_block(
     kv_cache=None,
     input_pos=None,
     capacity: Optional[int] = None,
+    prefill_attn: bool = False,
 ):
     """Pre-norm residual block with the MLP replaced by the sparse MoE."""
     h, new_cache = attention_block(
@@ -223,6 +224,7 @@ def moe_transformer_block(
         config,
         kv_cache,
         input_pos,
+        prefill_attn=prefill_attn,
     )
     x = x + h
     y, aux = moe_mlp(
@@ -260,13 +262,14 @@ def forward_moe(
     return logits, jax.tree.map(jnp.mean, auxs)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "prefill_attn"))
 def forward_moe_with_cache(
     params: Params,
     idx: jax.Array,
     input_pos: jax.Array,
     kv_cache,
     config: MoEConfig,
+    prefill_attn: bool = False,
 ):
     """Incremental forward with KV cache (decode path). Same contract as
     `llama.forward_with_cache`; MoE capacity covers every token (decode batches
@@ -280,7 +283,7 @@ def forward_moe_with_cache(
         block_params, cache_l = layer_in
         x, cache_l, _ = moe_transformer_block(
             block_params, x, rope, config, kv_cache=cache_l, input_pos=input_pos,
-            capacity=cap,
+            capacity=cap, prefill_attn=prefill_attn,
         )
         return x, cache_l
 

@@ -113,6 +113,56 @@ def test_prefill_matches_full_forward(rng):
     np.testing.assert_allclose(full, cached, atol=1e-5)
 
 
+def test_prefill_attn_flag_matches_cache_read_path(rng):
+    """`prefill_attn=True` (causal over in-flight k/v) must reproduce the
+    cache-read prefill: identical logits for an fp cache, and an identical
+    written cache (the flag only changes how attention READS, never what is
+    written). Round-4 TTFT optimization (PERF.md)."""
+    params = init_params(jax.random.PRNGKey(7), CFG)
+    idx = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 10)), jnp.int32)
+    pos = jnp.arange(10, dtype=jnp.int32)
+    base, cache_a = forward_with_cache(
+        params, idx, pos, init_kv_cache(CFG, 1, 16), CFG
+    )
+    fast, cache_b = forward_with_cache(
+        params, idx, pos, init_kv_cache(CFG, 1, 16), CFG, prefill_attn=True
+    )
+    np.testing.assert_allclose(fast, base, atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6), cache_a, cache_b
+    )
+    # quantized cache: written planes identical; logits near (prefill reads
+    # exact bf16 k/v instead of the quantized round-trip)
+    base_q, qcache_a = forward_with_cache(
+        params, idx, pos, init_kv_cache(CFG, 1, 16, quantized="int4"), CFG
+    )
+    fast_q, qcache_b = forward_with_cache(
+        params, idx, pos, init_kv_cache(CFG, 1, 16, quantized="int4"), CFG,
+        prefill_attn=True,
+    )
+    # the two programs compile differently, so upstream bf16 matmul rounding
+    # (and hence quantize ties) may differ by one level — compare DEQUANTIZED
+    # cache values within ~one quantization step instead of bitwise planes
+    for leaf, sleaf in (("k", "k_scale"), ("v", "v_scale")):
+        sa = np.asarray(qcache_a[sleaf], np.float64)  # (L, B, nh, S, 1)
+        sb = np.asarray(qcache_b[sleaf], np.float64)
+        np.testing.assert_allclose(sa, sb, rtol=0.05, atol=1e-6)
+        qa_ = np.asarray(qcache_a[leaf]).astype(np.int64)  # (L, B, nh/2, S, hd)
+        qb_ = np.asarray(qcache_b[leaf]).astype(np.int64)
+        # head-pair packing: low nibble = head 2j, high = head 2j+1; value =
+        # (nibble − 8) · per-head scale (ops/attention.quantize_kv4)
+        for nib_a, nib_b, s_a, s_b in (
+            (qa_ & 0xF, qb_ & 0xF, sa[:, :, 0::2], sb[:, :, 0::2]),
+            (qa_ >> 4, qb_ >> 4, sa[:, :, 1::2], sb[:, :, 1::2]),
+        ):
+            da = (nib_a - 8) * s_a - (nib_b - 8) * s_b
+            step = np.maximum(s_a, s_b)
+            assert (np.abs(da) <= 1.5 * step + 1e-6).all()
+    np.testing.assert_allclose(
+        fast_q, base_q, atol=np.abs(np.asarray(base_q)).max() * 0.1
+    )
+
+
 def test_incremental_decode_matches_full_forward(rng):
     """Token-by-token decode with the cache must reproduce full-sequence logits."""
     params = init_params(jax.random.PRNGKey(3), CFG)
