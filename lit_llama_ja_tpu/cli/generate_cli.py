@@ -165,14 +165,22 @@ def main(
         if draft is not None:
             from lit_llama_ja_tpu.infer.speculative import speculative_generate
 
+            spec_stats: dict = {}
             y = speculative_generate(
                 params, config, draft[0], draft[1],
                 jnp.asarray(encoded), max_new_tokens,
                 K=draft_k, temperature=temperature, top_k=top_k,
                 top_p=top_p if top_p < 1.0 else None,
                 eos_id=tokenizer.eos_id, key=sub, cache_dtype=jnp.bfloat16,
-                quantize_kv=qkv,
+                quantize_kv=qkv, stats_out=spec_stats,
             )
+            if spec_stats:
+                print(
+                    f"speculative: acceptance {spec_stats['acceptance']:.3f}, "
+                    f"{spec_stats['tokens'] / max(spec_stats['rounds'], 1):.2f} "
+                    f"tokens/round over {spec_stats['rounds']} rounds",
+                    file=sys.stderr,
+                )
         else:
             y = generate(
                 params,

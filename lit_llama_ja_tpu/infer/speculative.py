@@ -63,12 +63,7 @@ def _dist(
     return jax.nn.softmax(logits)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tcfg", "dcfg", "K", "temperature", "top_k", "top_p"),
-    donate_argnums=(4, 5),
-)
-def _spec_round(
+def _spec_round_body(
     tparams,
     dparams,
     prev_tok: jax.Array,  # () int32 — token at pos-1 (already cached; see module doc)
@@ -147,6 +142,107 @@ def _spec_round(
     return tokens, n_acc + 1, tcache, dcache
 
 
+_spec_round = partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "K", "temperature", "top_k", "top_p"),
+    donate_argnums=(4, 5),
+)(_spec_round_body)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tcfg", "dcfg", "K", "max_new_tokens", "S", "temperature", "top_k",
+        "top_p", "eos_id",
+    ),
+)
+def _spec_generate_jit(
+    tparams,
+    dparams,
+    padded_prompt: jax.Array,  # (P,) int32
+    prompt_len: jax.Array,  # () int32
+    tcache,
+    dcache,
+    key: jax.Array,
+    *,
+    tcfg: LLaMAConfig,
+    dcfg: LLaMAConfig,
+    K: int,
+    max_new_tokens: int,
+    S: int,
+    temperature: float,
+    top_k: Optional[int],
+    top_p: Optional[float],
+    eos_id: Optional[int],
+):
+    """The WHOLE speculative decode as one compiled program.
+
+    The host-loop formulation pays one device→host round trip per
+    draft-verify round; on the remote-dispatch platform that round trip
+    costs ~50-80 ms — more than the round's device work for small targets
+    (round-4 measurement: a 49M target decoded 890 tok/s plain but 36 tok/s
+    speculative through the host loop). A `lax.while_loop` over the round
+    body keeps everything on-device; only the finished token buffer crosses
+    the host boundary, matching the plain `_generate_jit` design.
+
+    Returns (out_buf (max_new_tokens + K + 1,), count, rounds): out_buf[:count]
+    are emitted tokens (count may exceed max_new_tokens by up to K; host
+    truncates), rounds = number of draft-verify rounds executed.
+    """
+    P = padded_prompt.shape[0]
+    input_pos = jnp.arange(P, dtype=jnp.int32)
+    tlogits, tcache = forward_with_cache(
+        tparams, padded_prompt[None], input_pos, tcache, tcfg, prefill_attn=True
+    )
+    _, dcache = forward_with_cache(
+        dparams, padded_prompt[None], input_pos, dcache, dcfg, prefill_attn=True
+    )
+    key, sub = jax.random.split(key)
+    last_logits = jax.lax.dynamic_index_in_dim(
+        tlogits[0], prompt_len - 1, axis=0, keepdims=False
+    )
+    first_dist = _dist(last_logits, temperature, top_k, top_p)
+    first_tok = jax.random.categorical(sub, jnp.log(first_dist + 1e-30)).astype(
+        jnp.int32
+    )
+
+    cap = max_new_tokens + K + 1
+    out0 = jnp.zeros((cap,), jnp.int32).at[0].set(first_tok)
+    prev0 = padded_prompt[jnp.maximum(prompt_len - 1, 0)]
+    done0 = (
+        jnp.bool_(False) if eos_id is None else (first_tok == eos_id)
+    )
+    carry0 = (
+        out0, jnp.int32(1), jnp.int32(0), prompt_len.astype(jnp.int32),
+        prev0.astype(jnp.int32), first_tok, tcache, dcache, key, done0,
+    )
+
+    def cond(c):
+        out, count, rounds, pos, prev, last, tc, dc, k, done = c
+        return (count < max_new_tokens) & (pos + K + 1 < S) & (~done)
+
+    def body(c):
+        out, count, rounds, pos, prev, last, tc, dc, k, done = c
+        k, sub = jax.random.split(k)
+        tokens, n_out, tc, dc = _spec_round_body(
+            tparams, dparams, prev, last, tc, dc, pos, sub,
+            tcfg, dcfg, K, temperature, top_k, top_p,
+        )
+        out = jax.lax.dynamic_update_slice(out, tokens, (count,))
+        emitted_mask = jnp.arange(K + 1) < n_out
+        if eos_id is not None:
+            done = done | jnp.any(emitted_mask & (tokens == eos_id))
+        prev = jnp.where(n_out >= 2, tokens[jnp.maximum(n_out - 2, 0)], last)
+        last = tokens[n_out - 1]
+        return (
+            out, count + n_out, rounds + 1, pos + n_out, prev, last, tc, dc,
+            k, done,
+        )
+
+    out, count, rounds, *_ = jax.lax.while_loop(cond, body, carry0)
+    return out, count, rounds
+
+
 def speculative_generate(
     tparams,
     tcfg: LLaMAConfig,
@@ -163,8 +259,13 @@ def speculative_generate(
     key: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
     quantize_kv=False,
+    stats_out: Optional[dict] = None,
 ) -> np.ndarray:
     """Generate with draft-model speculation; output distribution == target's.
+
+    ``stats_out``: optional dict that receives realized round telemetry —
+    {"rounds", "tokens", "accepted", "acceptance"} (accepted drafts / drafted
+    = the measured chain acceptance the PERF.md cost model predicts from).
 
     Both models must share the tokenizer/vocab (the ja family does). Generation
     stops ``K`` short of the cache capacity (speculative rounds need room for
@@ -175,48 +276,33 @@ def speculative_generate(
     """
     prompt = jnp.asarray(prompt, jnp.int32)
     T = int(prompt.shape[0])
-    S = min(T + max_new_tokens + K + 1, min(tcfg.block_size, dcfg.block_size))
-    P = min(bucket_length(T), S)
+    # S derives from the static padded length so the fused program buckets on
+    # (P, max_new_tokens) rather than the exact prompt length
+    P = min(bucket_length(T), min(tcfg.block_size, dcfg.block_size))
+    S = min(P + max_new_tokens + K + 1, min(tcfg.block_size, dcfg.block_size))
     if key is None:
         key = jax.random.PRNGKey(0)
 
     tcache = init_kv_cache(tcfg, 1, S, cache_dtype, quantized=quantize_kv)
     dcache = init_kv_cache(dcfg, 1, S, cache_dtype)
     padded = jnp.zeros((P,), jnp.int32).at[:T].set(prompt)
-    input_pos = jnp.arange(P, dtype=jnp.int32)
-    tlogits, tcache = forward_with_cache(
-        tparams, padded[None], input_pos, tcache, tcfg, prefill_attn=True
+
+    out_buf, count, rounds = _spec_generate_jit(
+        tparams, dparams, padded, jnp.int32(T), tcache, dcache, key,
+        tcfg=tcfg, dcfg=dcfg, K=K, max_new_tokens=max_new_tokens, S=S,
+        temperature=temperature, top_k=top_k, top_p=top_p, eos_id=eos_id,
     )
-    _, dcache = forward_with_cache(
-        dparams, padded[None], input_pos, dcache, dcfg, prefill_attn=True
-    )
-
-    key, sub = jax.random.split(key)
-    first_dist = _dist(tlogits[0, T - 1], temperature, top_k, top_p)
-    last_tok = jax.random.categorical(sub, jnp.log(first_dist + 1e-30)).astype(jnp.int32)
-
-    out = [int(last_tok)]
-    prev_tok = prompt[-1]
-    pos = jnp.int32(T)
-    while len(out) < max_new_tokens:
-        if int(pos) + K + 1 >= S:
-            break
-        key, sub = jax.random.split(key)
-        tokens, n_out, tcache, dcache = _spec_round(
-            tparams, dparams, prev_tok, last_tok, tcache, dcache, pos, sub,
-            tcfg, dcfg, K, temperature, top_k, top_p,
-        )
-        tokens = np.asarray(tokens)
-        n_out = int(n_out)
-        emitted = tokens[:n_out].tolist()
-        out.extend(emitted)
-        if eos_id is not None and eos_id in emitted:
-            break
-        prev_tok = jnp.int32(tokens[n_out - 2]) if n_out >= 2 else last_tok
-        last_tok = jnp.int32(tokens[n_out - 1])
-        pos = pos + n_out
-
-    out = out[:max_new_tokens]
+    count = int(count)
+    rounds = int(rounds)
+    out = np.asarray(out_buf)[: min(count, max_new_tokens)].tolist()
     if eos_id is not None and eos_id in out:
         out = out[: out.index(eos_id) + 1]
+    if stats_out is not None:
+        emitted_n = max(len(out) - 1, 0)  # first token came from the prefill
+        stats_out.update(
+            rounds=rounds,
+            tokens=emitted_n,
+            accepted=max(emitted_n - rounds, 0),
+            acceptance=(max(emitted_n - rounds, 0) / (rounds * K)) if rounds else 0.0,
+        )
     return np.concatenate([np.asarray(prompt), np.asarray(out, np.int32)])

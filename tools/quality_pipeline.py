@@ -35,7 +35,12 @@ VAL_KB = 620.0    # held-out validation split
 
 def run(cmd, **kw):
     print("+", " ".join(str(c) for c in cmd), flush=True)
-    subprocess.run([str(c) for c in cmd], check=True, cwd=str(REPO), **kw)
+    import os
+
+    # rayon's thread pool deadlocks after fork (observed: prepare_any_text
+    # froze mid-corpus when launched via subprocess) — disable it
+    env = dict(os.environ, TOKENIZERS_PARALLELISM="false")
+    subprocess.run([str(c) for c in cmd], check=True, cwd=str(REPO), env=env, **kw)
 
 
 def step_corpus():
