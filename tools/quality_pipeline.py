@@ -67,9 +67,22 @@ def step_corpus():
         if got >= budget:
             break
     text = "\n".join(chunks)
-    n_val = int(VAL_KB * 1e3)
-    n_calib = int(CALIB_MB * 1e6)
-    val, calib, train = text[:n_val], text[n_val:n_val + n_calib], text[n_val + n_calib:]
+    # INTERLEAVED split (64 KB blocks assigned round-robin): a contiguous
+    # head/tail split makes val a single package's code — out of distribution
+    # vs train (measured: val ppl 1126 on a model with train loss 2.6) and
+    # useless for Δppl at the ≤0.1 budget. Interleaving keeps val/calib
+    # in-distribution held-out text.
+    blk = 64 * 1024
+    blocks = [text[i : i + blk] for i in range(0, len(text), blk)]
+    val, calib, train = [], [], []
+    for i, b in enumerate(blocks):
+        if i % 100 == 7 and sum(map(len, val)) < VAL_KB * 1e3:
+            val.append(b)
+        elif i % 20 == 3 and sum(map(len, calib)) < CALIB_MB * 1e6:
+            calib.append(b)
+        else:
+            train.append(b)
+    val, calib, train = "".join(val), "".join(calib), "".join(train)
     (CORPUS / "val.txt").write_text(val)
     (CORPUS / "calib.txt").write_text(calib)
     # prepare_any_text globs *.txt in a directory: give train its own dir
