@@ -270,6 +270,7 @@ def paged_block_chain(
     use_kernel: bool = False,
     attn_chunk: Optional[int] = None,
     defer_commit: bool = False,
+    prefill_attn: bool = False,
 ) -> Tuple[jax.Array, PagePool]:
     """The transformer-block chain of `paged_forward` (everything between the
     embedding and the final norm), factored out so pipeline-parallel decode
@@ -307,6 +308,7 @@ def paged_block_chain(
         q = rot(q.reshape(B, T, nh, hd))
         k = rot(k.reshape(B, T, nh, hd))
         v = v.reshape(B, T, nh, hd)
+        raw_kv = (k, v) if prefill_attn else None
         if quantized == "int4":
             from lit_llama_ja_tpu.ops.attention import quantize_kv4
 
@@ -322,7 +324,7 @@ def paged_block_chain(
         else:
             writes = {"k": k.astype(pool["k"].dtype),
                       "v": v.astype(pool["v"].dtype)}
-        return q, writes
+        return q, writes, raw_kv
 
     def finish(x, block_params, y):
         y = y.transpose(0, 2, 1, 3).reshape(B, T, config.n_embd)
@@ -353,7 +355,7 @@ def paged_block_chain(
         def kbody(carry, layer_in):
             x, pool = carry
             block_params, l = layer_in
-            q, writes = qkv_writes(x, block_params)
+            q, writes, _ = qkv_writes(x, block_params)
             pool = {
                 key: pool[key].at[l, page_idx, :, offs].set(val)
                 for key, val in writes.items()
@@ -394,9 +396,25 @@ def paged_block_chain(
     # aliases cleanly and eliminates all four copies.
     def body(x, layer_in):
         block_params, l = layer_in
-        q, writes = qkv_writes(x, block_params)
+        q, writes, raw_kv = qkv_writes(x, block_params)
         cache_l = {key: val[l] for key, val in pool.items()}
-        if T == 1 and attn_chunk and attn_chunk < B and B % attn_chunk == 0:
+        if prefill_attn:
+            # Prefill-from-empty (static caller promise: the span starts at
+            # position 0 on freshly allocated pages): the gathered pool is
+            # entirely masked, so skip the (B, nh, AP*page, hd) gather +
+            # dequant per layer and attend causally over the in-flight bf16
+            # k/v (round-4 TTFT change, same contract as llama.forward_with_
+            # cache(prefill_attn=True); exact for fp pools, sharper than the
+            # quantized round-trip otherwise).
+            from lit_llama_ja_tpu.ops.attention import causal_attention
+
+            k_raw, v_raw = raw_kv
+            y = causal_attention(
+                q.transpose(0, 2, 1, 3),
+                k_raw.transpose(0, 2, 1, 3),
+                v_raw.transpose(0, 2, 1, 3),
+            )
+        elif T == 1 and attn_chunk and attn_chunk < B and B % attn_chunk == 0:
             nc = B // attn_chunk
             qc = q.transpose(0, 2, 1, 3).reshape(nc, attn_chunk, nh, 1, hd)
             tc = tables.reshape(nc, attn_chunk, tables.shape[1])
@@ -471,7 +489,10 @@ def commit_writes(
 commit_writes_jit = jax.jit(commit_writes, donate_argnums=(0,))
 
 
-@partial(jax.jit, static_argnames=("config", "quantized", "attn_chunk"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "quantized", "attn_chunk", "prefill_attn"),
+)
 def paged_forward_read(
     params,
     toks: jax.Array,  # (B, T)
@@ -481,14 +502,19 @@ def paged_forward_read(
     config: LLaMAConfig,
     quantized: bool,
     attn_chunk: Optional[int] = None,
+    prefill_attn: bool = False,
 ):
     """Read-only half of `paged_forward`: the pool is NOT donated and never
     written — the span's K/V comes back as ``writes`` for a separate
-    `commit_writes_jit` dispatch. Returns (logits, writes, page_idx, offs)."""
+    `commit_writes_jit` dispatch. Returns (logits, writes, page_idx, offs).
+
+    ``prefill_attn``: static caller promise that the span starts at position
+    0 on fresh pages — attention runs causally over the in-flight k/v and the
+    per-layer pool gather is skipped entirely (admission-prefill TTFT)."""
     x = params["wte"]["weight"][toks]
     x, writes, page_idx, offs = paged_block_chain(
         params["blocks"], pool, x, pos, tables, config, quantized,
-        attn_chunk=attn_chunk, defer_commit=True,
+        attn_chunk=attn_chunk, defer_commit=True, prefill_attn=prefill_attn,
     )
     x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
     return apply_linear(params["lm_head"], x), writes, page_idx, offs
@@ -839,6 +865,10 @@ class PagedEngine:
                 self.pool,
                 self.config,
                 self.quantized,
+                # span starts on empty fresh pages → causal in-flight
+                # attention, no pool gather (chunked/extending prefills with
+                # start_pos > 0 keep the gather path)
+                prefill_attn=(start_pos == 0),
             )
             self.pool = commit_writes_jit(self.pool, writes, pi, of)
         if want_logits:
