@@ -138,7 +138,8 @@ def main_adapter(
     cache = init_kv_cache(acfg, 1, S, jnp.bfloat16)
     t0 = time.perf_counter()
     logits, cache = adapter_mod.adapter_forward_with_cache(
-        params, jnp.asarray(encoded)[None], jnp.arange(T, dtype=jnp.int32), cache, acfg
+        params, jnp.asarray(encoded)[None], jnp.arange(T, dtype=jnp.int32), cache, acfg,
+        prefill_attn=True,  # empty cache: causal over in-flight k/v
     )
     key = jax.random.PRNGKey(0)
     ids = list(encoded)

@@ -160,8 +160,14 @@ def _adapter_attention(
     config,
     kv_cache=None,
     input_pos=None,
+    prefill_attn=False,
 ):
-    """Self-attention + gated prefix cross-attention (reference `adapter.py:86-172`)."""
+    """Self-attention + gated prefix cross-attention (reference `adapter.py:86-172`).
+
+    ``prefill_attn``: static promise of a prefill from an EMPTY cache — the
+    self-attention half runs causally over the in-flight k/v instead of
+    reading the S-wide cache per row (same contract as
+    `llama.forward_with_cache`; the prefix branch is unaffected)."""
     B, T, C = x.shape
     nh, hd = config.n_head, config.head_dim
     q, k, v = _qkv(attn_params, x, nh, rope)
@@ -188,9 +194,12 @@ def _adapter_attention(
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v.astype(cache_v.dtype), (0, 0, write_pos[0], 0)
         )
-        y = decode_attention(
-            q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), write_pos
-        )
+        if prefill_attn:
+            y = causal_attention(q, k, v)
+        else:
+            y = decode_attention(
+                q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), write_pos
+            )
         new_cache = (cache_k, cache_v)
 
     # prefix cross-attention branch: no RoPE on the prefix (reference computes
@@ -210,7 +219,7 @@ def _adapter_attention(
 
 
 def _adapter_block(block_params, adapter, layer_idx, x, rope, config,
-                   kv_cache=None, input_pos=None):
+                   kv_cache=None, input_pos=None, prefill_attn=False):
     active = layer_idx >= config.adapter_start_layer
     h, new_cache = _adapter_attention(
         block_params["attn"],
@@ -222,6 +231,7 @@ def _adapter_block(block_params, adapter, layer_idx, x, rope, config,
         config,
         kv_cache,
         input_pos,
+        prefill_attn=prefill_attn,
     )
     x = x + h
     from lit_llama_ja_tpu.models.llama import mlp_block
@@ -252,10 +262,11 @@ def adapter_forward(params, idx: jax.Array, config: AdapterConfig) -> jax.Array:
     return apply_linear(params["lm_head"], x)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "prefill_attn"))
 def adapter_forward_with_cache(
     params, idx: jax.Array, input_pos: jax.Array, kv_cache: KVCache,
     config: AdapterConfig,
+    prefill_attn: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Incremental forward with KV cache; the tiny (aT=10) adapter k/v are
     recomputed per step instead of cached — stateless and negligible."""
@@ -270,7 +281,7 @@ def adapter_forward_with_cache(
         block_params, adapter_l, layer_idx, ck, cv = xs
         x, (ck, cv) = _adapter_block(
             block_params, adapter_l, layer_idx, x, rope, config,
-            kv_cache=(ck, cv), input_pos=input_pos,
+            kv_cache=(ck, cv), input_pos=input_pos, prefill_attn=prefill_attn,
         )
         return x, (ck, cv)
 
