@@ -42,8 +42,17 @@ HDR_SIZE = 24  # bytes
 
 
 class PackedDatasetBuilder:
-    """Packs token arrays into fixed-size chunk files separated by ``sep_token``
-    (reference `lit_llama/packed_dataset.py:68-134`)."""
+    """Streams token arrays into fixed-size ``LITPKDS`` chunk files.
+
+    Byte-compatible with files written by the reference builder
+    (`lit_llama/packed_dataset.py:68-134`, same header + sep-padded chunks and
+    the same write cadence: a chunk is flushed only once MORE than
+    ``chunk_size`` tokens are buffered, so an exactly-full buffer waits for
+    `write_reminder`), but built around a pending-queue of whole input arrays
+    rather than a persistent write cursor: each flush assembles one chunk from
+    the queue head in a single pass. ``write_reminder`` (reference API name
+    kept) pads the final partial chunk with ``sep_token`` — it always emits a
+    file, even for an empty queue."""
 
     def __init__(
         self,
@@ -58,17 +67,15 @@ class PackedDatasetBuilder:
             if vocab_size is None:
                 raise ValueError("vocab_size cannot be None when dtype='auto'")
             # uint16 when the vocab fits (reference `packed_dataset.py:79-84`)
-            self._dtype = np.uint16 if vocab_size < 65500 else np.int32
-        else:
-            self._dtype = dtype
-        self._counter = 0
-        self._chunk_size = chunk_size
+            dtype = np.uint16 if vocab_size < 65500 else np.int32
+        self._dtype = dtype
         self._outdir = outdir
         self._prefix = prefix
+        self._chunk_size = chunk_size
         self._sep_token = sep_token
-        self._arr = np.full(chunk_size, sep_token, dtype=self._dtype)
-        self._idx = 0
         self._version = 1
+        self._pending: List[np.ndarray] = []
+        self._pending_len = 0
         self._filenames: List[str] = []
 
     @property
@@ -79,33 +86,49 @@ class PackedDatasetBuilder:
     def filenames(self) -> List[str]:
         return self._filenames.copy()
 
-    def _write_chunk(self) -> None:
-        filename = os.path.join(
-            self._outdir, f"{self._prefix}_{self._counter:010d}.bin"
+    def _emit(self, tokens: np.ndarray) -> None:
+        """Write one chunk file: 24-byte header (magic, version u64, dtype code
+        u8, chunk_size u64 — all little-endian) + the chunk payload."""
+        path = os.path.join(
+            self._outdir, f"{self._prefix}_{len(self._filenames):010d}.bin"
         )
-        with open(filename, "wb") as f:
-            f.write(HDR_MAGIC)
-            f.write(struct.pack("<Q", self._version))
-            f.write(struct.pack("<B", code(self._dtype)))
-            f.write(struct.pack("<Q", self._chunk_size))
-            f.write(self._arr.tobytes(order="C"))
-        self._filenames.append(filename)
-        self._counter += 1
-        self._arr.fill(self._sep_token)
-        self._idx = 0
+        header = HDR_MAGIC + struct.pack(
+            "<QBQ", self._version, code(self._dtype), self._chunk_size
+        )
+        with open(path, "wb") as f:
+            f.write(header)
+            f.write(np.ascontiguousarray(tokens, dtype=self._dtype).tobytes())
+        self._filenames.append(path)
+
+    def _take(self, n: int) -> np.ndarray:
+        """Pop exactly ``n`` tokens off the queue head (splitting a straddling
+        array back onto the queue)."""
+        out = np.empty(n, dtype=self._dtype)
+        filled = 0
+        while filled < n:
+            head = self._pending[0]
+            want = n - filled
+            if head.shape[0] <= want:
+                out[filled : filled + head.shape[0]] = head
+                filled += head.shape[0]
+                self._pending.pop(0)
+            else:
+                out[filled:] = head[:want]
+                self._pending[0] = head[want:]
+                filled = n
+        self._pending_len -= n
+        return out
 
     def add_array(self, arr: np.ndarray) -> None:
-        while self._idx + arr.shape[0] > self._chunk_size:
-            part_len = self._chunk_size - self._idx
-            self._arr[self._idx : self._idx + part_len] = arr[:part_len]
-            self._write_chunk()
-            arr = arr[part_len:]
-        n = arr.shape[0]
-        self._arr[self._idx : self._idx + n] = arr
-        self._idx += n
+        self._pending.append(np.asarray(arr))
+        self._pending_len += arr.shape[0]
+        while self._pending_len > self._chunk_size:
+            self._emit(self._take(self._chunk_size))
 
     def write_reminder(self) -> None:
-        self._write_chunk()
+        tail = self._take(min(self._pending_len, self._chunk_size))
+        pad = np.full(self._chunk_size - tail.shape[0], self._sep_token, self._dtype)
+        self._emit(np.concatenate([tail, pad]))
 
 
 def read_header(path):

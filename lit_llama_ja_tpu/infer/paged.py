@@ -348,6 +348,10 @@ def paged_block_chain(
 
     if use_kernel:
         assert not defer_commit, "kernel path writes per-layer (no defer)"
+        # The kernel path reads the span's K/V back from the pool, so the
+        # in-flight raw_kv branch would be silently dropped — refuse rather
+        # than quietly lose the caller's prefill_attn promise.
+        assert not prefill_attn, "use_kernel does not implement prefill_attn"
         # Legacy write-then-attend path: the Pallas kernel reads the current
         # token's K/V from the pool, so each layer must scatter BEFORE
         # attending. The pool rides the scan carry (in-place per-layer

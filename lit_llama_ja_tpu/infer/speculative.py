@@ -298,11 +298,18 @@ def speculative_generate(
     if eos_id is not None and eos_id in out:
         out = out[: out.index(eos_id) + 1]
     if stats_out is not None:
+        # Acceptance from the UNTRUNCATED device counters: every round emits its
+        # accepted drafts plus exactly one corrected/bonus token, and out_buf[0]
+        # is the prefill token, so accepted = count - 1 - rounds. Deriving this
+        # from the host-truncated list (min(count, max_new_tokens), then the EOS
+        # cut) under-reported acceptance whenever the last round overshot
+        # max_new_tokens (by up to K) or generation stopped at EOS.
         emitted_n = max(len(out) - 1, 0)  # first token came from the prefill
+        accepted = max(count - 1 - rounds, 0)
         stats_out.update(
             rounds=rounds,
             tokens=emitted_n,
-            accepted=max(emitted_n - rounds, 0),
-            acceptance=(max(emitted_n - rounds, 0) / (rounds * K)) if rounds else 0.0,
+            accepted=accepted,
+            acceptance=(accepted / (rounds * K)) if rounds else 0.0,
         )
     return np.concatenate([np.asarray(prompt), np.asarray(out, np.int32)])

@@ -158,3 +158,40 @@ def test_adapter_v2_state_extraction():
     assert any("rms_1" in k for k in keys)
     assert any("ln_f" in k for k in keys)
     assert not any(k.endswith("/weight") for k in keys)
+
+
+def test_adapter_prefill_attn_matches_cache_read_path(rng):
+    """Adapter analogue of test_model.test_prefill_attn_flag_matches_cache_read
+    _path: `prefill_attn=True` must reproduce the cache-read prefill exactly —
+    identical logits AND identical written cache. The adapter attention has
+    extra structure the llama test does not exercise (write-then-attend
+    ordering interleaved with the gated prefix cross-attention), and
+    generate_finetuned.py enables the flag by default."""
+    params, aparams = make_adapter_model(seed=11)
+    g = aparams["blocks"]["adapter"]["gating_factor"]
+    aparams["blocks"]["adapter"]["gating_factor"] = jnp.full_like(g, 0.5)
+    idx = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 10)), jnp.int32)
+    pos = jnp.arange(10, dtype=jnp.int32)
+    base, cache_a = adapter_forward_with_cache(
+        aparams, idx, pos, init_kv_cache(CFG, 1, 16), CFG
+    )
+    fast, cache_b = adapter_forward_with_cache(
+        aparams, idx, pos, init_kv_cache(CFG, 1, 16), CFG, prefill_attn=True
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base), atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        cache_a, cache_b,
+    )
+    # the flag must also compose with a decode step continuing from the
+    # prefilled cache (the generate_finetuned.py usage pattern)
+    nxt = jnp.asarray([[3]], jnp.int32)
+    da, _ = adapter_forward_with_cache(
+        aparams, nxt, jnp.array([10], jnp.int32), cache_a, CFG
+    )
+    db, _ = adapter_forward_with_cache(
+        aparams, nxt, jnp.array([10], jnp.int32), cache_b, CFG
+    )
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-6)
