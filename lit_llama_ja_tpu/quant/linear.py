@@ -36,9 +36,20 @@ def infer_bits(qweight: jax.Array, in_features: int) -> int:
         return 8
     if qweight.shape[0] * 2 == in_features:
         return 4
+    if qweight.shape[0] * 4 == sub4_pad_rows(in_features):
+        return 2
     raise ValueError(
         f"qweight rows {qweight.shape[0]} incompatible with in_features {in_features}"
     )
+
+
+def infer_bits_params(params: Dict[str, jax.Array], in_features: int) -> int:
+    """Bit width of a quantized-linear leaf dict. int3 shares the int2 packed
+    shape for its low bits and is distinguished by the ``qweight_hi`` plane."""
+    if "qweight_hi" in params:
+        assert params["qweight"].shape[-2] * 4 == sub4_pad_rows(in_features)
+        return 3
+    return infer_bits(params["qweight"], in_features)
 
 
 # ---------------------------------------------------------------------------
@@ -81,6 +92,93 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     K2, N = packed.shape[-2:]
     lead = packed.shape[:-2]
     return jnp.stack([lo, hi], axis=-2).reshape(*lead, K2 * 2, N)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def sub4_pad_rows(K: int) -> int:
+    """Padded K for the sub-4-bit pack formats.
+
+    Multiples of 8 so the bit plane packs; large dims are rounded up to 1024
+    so the TPU kernel's activation blocks hit Mosaic's 128-lane alignment rule
+    with a MULTI-tile k-grid (pipelined weight streaming) even for dims like
+    the 7B MLP's 11008 (11008/8 = 1376 has no 128-multiple divisor — without
+    padding that matmul runs as one un-pipelined grid step). Padded rows hold
+    level 0 and are sliced off on dequant; the kernel zero-pads the matching
+    activation lanes, so they contribute exactly nothing.
+    """
+    return _round_up(K, 1024 if K >= 2048 else 8)
+
+
+def _pad_rows_to(q: jax.Array, rows: int) -> jax.Array:
+    if q.shape[0] == rows:
+        return q
+    return jnp.pad(q, ((0, rows - q.shape[0]), (0, 0)))
+
+
+def pack_int2(q: jax.Array) -> jax.Array:
+    """Pack unsigned 2-bit levels ``(K, N)`` -> uint8 ``(sub4_pad_rows(K)//4, N)``.
+
+    Byte ``r`` holds K-rows ``4r+j`` at bit positions ``2j``. Fields 0-2 store
+    the level plain, so on-device ``(byte & (0x3 << 2j)).astype(int8)`` is
+    ``4^j · q_j`` with no shift; field 3 is stored bias-2, ``(q3 - 2) & 0x3``,
+    so ``(byte & 0xC0)`` BITCAST to int8 equals ``64·(q3 − 2)`` exactly (the
+    mod-256 wrap IS the wanted signed value) — the same trick as the int4
+    high nibble (`pack_int4`), extended to the top 2-bit field. Every plane
+    therefore unpacks with one uint8 AND + one cast/bitcast; the ``4^-j``
+    normalizations fold into the kernel's f32 accumulation scalars (sub-32-bit
+    shifts do not compile on this Mosaic toolchain).
+    """
+    q = _pad_rows_to(q.astype(jnp.uint8), sub4_pad_rows(q.shape[0]))
+    f0, f1, f2 = q[0::4], q[1::4], q[2::4]
+    f3 = (q[3::4] - jnp.uint8(2)) & jnp.uint8(0x3)
+    return f0 | (f1 << 2) | (f2 << 4) | (f3 << 6)
+
+
+def unpack_int2(packed: jax.Array) -> jax.Array:
+    """uint8 ``(..., K//4, N)`` -> unsigned levels ``(..., K, N)`` uint8."""
+    f0 = packed & 0x3
+    f1 = (packed >> 2) & 0x3
+    f2 = (packed >> 4) & 0x3
+    f3 = ((packed >> 6) + 2) & 0x3
+    K4, N = packed.shape[-2:]
+    lead = packed.shape[:-2]
+    return jnp.stack([f0, f1, f2, f3], axis=-2).reshape(*lead, K4 * 4, N)
+
+
+def pack_int3(q: jax.Array) -> Dict[str, jax.Array]:
+    """Pack unsigned 3-bit levels ``(K, N)`` as ``q = q2 + 4·hi``:
+
+      * ``qweight``: the low 2 bits, int2-packed ``(K//4, N)`` (`pack_int2`).
+      * ``qweight_hi``: the high bit as a bit-plane ``(K//8, N)`` — byte ``r``
+        holds the high bits of K-rows ``8r+i`` at bit ``i``. On-device
+        ``(byte & (1 << i)).astype(int8)`` is ``2^i · b_i`` for ``i < 7`` and
+        the ``i = 7`` mask BITCAST to int8 is ``−128·b_7`` — all shift-free;
+        the ``±2^-i`` normalizations fold into f32 accumulation scalars.
+
+    3 bits/weight of HBM traffic total; both halves stream as dense uint8
+    tiles with the same (K-major, N-lane) layout as the int4 format.
+    """
+    q = _pad_rows_to(q.astype(jnp.uint8), sub4_pad_rows(q.shape[0]))
+    hi = q >> 2  # (K, N) in {0, 1}
+    parts = [(hi[i::8] << i) for i in range(8)]
+    hi_packed = parts[0]
+    for p in parts[1:]:
+        hi_packed = hi_packed | p
+    return {"qweight": pack_int2(q & jnp.uint8(0x3)), "qweight_hi": hi_packed}
+
+
+def unpack_int3(packed: jax.Array, packed_hi: jax.Array) -> jax.Array:
+    """Inverse of `pack_int3` -> unsigned levels ``(..., K, N)`` uint8."""
+    q2 = unpack_int2(packed)
+    K8, N = packed_hi.shape[-2:]
+    lead = packed_hi.shape[:-2]
+    bits = jnp.stack(
+        [(packed_hi >> i) & 1 for i in range(8)], axis=-2
+    ).reshape(*lead, K8 * 8, N)
+    return q2 + (bits << 2)
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +268,11 @@ def quantize_colblock(
     reference's `ColBlockQuantizedLinear.pack_weight` + `find_params_weight`.)
     """
     K, N = w.shape
+    if bits in (2, 3):
+        # pad up front (zero rows) so the tile grid covers the padded K the
+        # pack formats store — keeps grouped scales uniform over every k-tile
+        w = _pad_rows_to(w, sub4_pad_rows(K))
+        K = w.shape[0]
     tile = K if tile_cols == -1 else tile_cols
     n_tiles = (K + tile - 1) // tile
     scales, zeros, qs = [], [], []
@@ -181,14 +284,12 @@ def quantize_colblock(
         zeros.append(z)
         qs.append(q)
     q = jnp.concatenate(qs, axis=0)
-    out = {
-        "scales": jnp.concatenate(scales, axis=0),
-        "zeros": jnp.concatenate(zeros, axis=0),
-    }
-    if bits == 4:
-        out["qweight"] = pack_int4(q)
-    else:
-        out["qweight"] = q.astype(jnp.uint8)
+    out = pack_prequantized(
+        q,
+        jnp.concatenate(scales, axis=0),
+        jnp.concatenate(zeros, axis=0),
+        bits,
+    )
     return out
 
 
@@ -196,11 +297,32 @@ def pack_prequantized(
     q_levels: jax.Array, scales: jax.Array, zeros: jax.Array, bits: int
 ) -> Dict[str, jax.Array]:
     """Pack already-chosen levels (e.g. from the GPTQ solver). q_levels: (K, N)."""
+    if bits in (2, 3):
+        # grouped scales must tile the PADDED K the pack formats store
+        K = q_levels.shape[0]
+        Kp = sub4_pad_rows(K)
+        if Kp != K and scales.shape[0] > 1:
+            gs = K // scales.shape[0]
+            assert scales.shape[0] * gs == K and Kp % gs == 0, (
+                f"groupsize {gs} must divide the padded K {Kp}"
+            )
+            extra = Kp // gs - scales.shape[0]
+            scales = jnp.concatenate(
+                [scales, jnp.ones((extra, scales.shape[1]), scales.dtype)]
+            )
+            zeros = jnp.concatenate(
+                [zeros, jnp.zeros((extra, zeros.shape[1]), zeros.dtype)]
+            )
+    out = {"scales": scales, "zeros": zeros}
     if bits == 4:
-        qweight = pack_int4(q_levels)
+        out["qweight"] = pack_int4(q_levels)
+    elif bits == 3:
+        out.update(pack_int3(q_levels))
+    elif bits == 2:
+        out["qweight"] = pack_int2(q_levels)
     else:
-        qweight = q_levels.astype(jnp.uint8)
-    return {"qweight": qweight, "scales": scales, "zeros": zeros}
+        out["qweight"] = q_levels.astype(jnp.uint8)
+    return out
 
 
 def _expand_tiles(t: jax.Array, K: int) -> jax.Array:
@@ -216,13 +338,18 @@ def dequantize_with_k(
 ) -> jax.Array:
     """Reconstruct ``(K, N)`` float weights; ``in_features`` disambiguates packing."""
     qweight, scales, zeros = params["qweight"], params["scales"], params["zeros"]
-    bits = infer_bits(qweight, in_features)
+    bits = infer_bits_params(params, in_features)
     if bits == 4:
         levels = unpack_int4(qweight).astype(jnp.float32)
+    elif bits == 3:
+        levels = unpack_int3(qweight, params["qweight_hi"]).astype(jnp.float32)
+    elif bits == 2:
+        levels = unpack_int2(qweight).astype(jnp.float32)
     else:
         levels = qweight.astype(jnp.float32)
-    K = in_features
+    K = levels.shape[-2]  # padded K for the sub-4-bit formats
     w = (levels - _expand_tiles(zeros, K)) * _expand_tiles(scales, K)
+    w = w[..., :in_features, :]
     if "outlier_w" in params:
         w = w.at[params["outlier_idx"]].set(
             params["outlier_w"].astype(w.dtype)
@@ -260,10 +387,24 @@ def quant_matmul(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
             quant_matmul_int4,
             quant_matmul_int8,
         )
+        from lit_llama_ja_tpu.ops.pallas.quant_matmul_sub4 import (
+            quant_matmul_int2,
+            quant_matmul_int3,
+        )
 
-        bits = infer_bits(params["qweight"], K)
+        bits = infer_bits_params(params, K)
         if bits == 4:
             y = quant_matmul_int4(
+                x, params["qweight"], params["scales"], params["zeros"],
+                out_dtype=x.dtype,
+            )
+        elif bits == 3:
+            y = quant_matmul_int3(
+                x, params["qweight"], params["qweight_hi"],
+                params["scales"], params["zeros"], out_dtype=x.dtype,
+            )
+        elif bits == 2:
+            y = quant_matmul_int2(
                 x, params["qweight"], params["scales"], params["zeros"],
                 out_dtype=x.dtype,
             )
