@@ -14,7 +14,7 @@ import numpy as np
 def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
     """Load a model from a native orbax dir, a lit `.pth`, or a PEFT npz combo.
 
-    ``quantize`` in {None, "llm.int8", "llm.int8-rtn", "gptq.int4", "gptq.int8"}:
+    ``quantize`` in {None, "llm.int8", "llm.int8-rtn"} or "{gptq|rtn}.int{2,3,4,8}[-g<N>]":
     llm.int8 quantizes weight-only at load (like the reference's load-time
     requantization, `lit_llama/quantization.py:50-65`) with the bf16 outlier-
     channel decomposition of `quant/linear.quantize_int8_outlier` (the
@@ -49,36 +49,48 @@ def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
         params, config = load_lit_checkpoint(path)
         params = jax.tree.map(jnp.asarray, params)
 
-    if quantize in ("llm.int8", "llm.int8-rtn"):
+    if quantize in ("llm.int8", "llm.int8-rtn", "llm.int8-dyn"):
         from lit_llama_ja_tpu.quant.pipeline import int8_quantize_model
 
         already = "qweight" in params["blocks"]["attn"]["c_attn"]
         if not already:
-            params = int8_quantize_model(params, outliers=quantize == "llm.int8")
-    elif quantize in ("gptq.int4", "gptq.int8"):
+            outliers = {"llm.int8": True, "llm.int8-rtn": False,
+                        "llm.int8-dyn": "dynamic"}[quantize]
+            params = int8_quantize_model(params, outliers=outliers)
+    elif quantize is not None:
+        from lit_llama_ja_tpu.quant.linear import parse_quant_mode
+
+        scheme, bits, groupsize = parse_quant_mode(quantize)
         already = "qweight" in params["blocks"]["attn"]["c_attn"]
         if not already:
-            print(
-                "warning: checkpoint is not GPTQ-calibrated; applying RTN "
-                "round-to-nearest (run quantize/gptq.py for calibrated weights)",
-                file=sys.stderr,
-            )
+            if scheme == "gptq":
+                print(
+                    "warning: checkpoint is not GPTQ-calibrated; applying RTN "
+                    "round-to-nearest (run quantize/gptq.py for calibrated "
+                    "weights)",
+                    file=sys.stderr,
+                )
             from lit_llama_ja_tpu.quant.linear import quantize_colblock
 
-            bits = 4 if quantize.endswith("int4") else 8
             # RTN-quantize the five block linears + lm_head
             from lit_llama_ja_tpu.quant.pipeline import SUBMODULES, _get, _set, _to_mutable
 
+            tile_cols = groupsize
             params = _to_mutable(params)
             for name in SUBMODULES:
                 leaf = _get(params["blocks"], name)
                 w = leaf["weight"]
                 L = w.shape[0]
-                qs = [quantize_colblock(w[l], bits=bits) for l in range(L)]
+                qs = [
+                    quantize_colblock(w[l], bits=bits, tile_cols=tile_cols)
+                    for l in range(L)
+                ]
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
                 _set(params["blocks"], name, dict(stacked))
             params["lm_head"] = dict(
-                quantize_colblock(params["lm_head"]["weight"], bits=bits)
+                quantize_colblock(
+                    params["lm_head"]["weight"], bits=bits, tile_cols=tile_cols
+                )
             )
     return params, config
 

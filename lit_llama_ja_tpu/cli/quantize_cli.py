@@ -41,21 +41,29 @@ def main(
         output_path: where to write the quantized native checkpoint.
         tokenizer_path: tokenizer for the calibration text.
         n_samples: calibration sequences of block_size tokens (default 128).
-        quantize: "gptq.int4" or "gptq.int8".
+        quantize: "gptq.int{2,3,4,8}[-g<N>]" (round 5 extends the reference's
+            bits in (4, 8), `lit_llama/quantization.py:338-345`, down to the
+            sub-4-bit pack formats; a "-g<N>" suffix sets groupsize inline).
         groupsize: column group size (-1 = per-channel whole-row).
         calib_text_path: local text file instead of downloading C4.
     """
     from lit_llama_ja_tpu.cli.generate_cli import load_model_any
     from lit_llama_ja_tpu.io.checkpoint import save_checkpoint
     from lit_llama_ja_tpu.io.tokenizer import HFTokenizer, Tokenizer
+    from lit_llama_ja_tpu.quant.linear import parse_quant_mode
     from lit_llama_ja_tpu.quant.pipeline import gptq_quantize_model
 
-    bits = {"gptq.int4": 4, "gptq.int8": 8}.get(quantize)
-    if bits is None:
+    scheme, bits, mode_gs = parse_quant_mode(quantize)
+    if scheme != "gptq":
         raise RuntimeError(f"unknown/unsupported quantization mode {quantize}")
+    if mode_gs != -1:
+        groupsize = mode_gs
 
     if output_path is None:
-        output_path = str(Path(checkpoint_path).parent / f"llama-gptq.{bits}bit")
+        suffix = f"llama-gptq.{bits}bit" + (
+            f"-g{groupsize}" if groupsize != -1 else ""
+        )
+        output_path = str(Path(checkpoint_path).parent / suffix)
 
     print("Loading model ...", file=sys.stderr)
     params, config = load_model_any(Path(checkpoint_path))

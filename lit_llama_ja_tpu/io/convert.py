@@ -78,11 +78,13 @@ def lit_state_dict_to_native(
             _qfn = quantize_int8_outlier
         elif quantize == "llm.int8-rtn":
             _qfn = quantize_int8_absmax
-        elif quantize in ("gptq.int4", "gptq.int8"):
-            bits = 4 if quantize.endswith("int4") else 8
-            _qfn = lambda w: quantize_colblock(w, bits=bits)
         else:
-            raise ValueError(f"unknown quantize mode {quantize!r}")
+            from lit_llama_ja_tpu.quant.linear import parse_quant_mode
+
+            _, bits, groupsize = parse_quant_mode(quantize)
+            _qfn = lambda w: quantize_colblock(
+                w, bits=bits, tile_cols=groupsize
+            )
 
         def qlin(w2d: np.ndarray):
             return jax.tree.map(np.asarray, _qfn(np.asarray(w2d)))

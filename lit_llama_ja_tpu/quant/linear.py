@@ -31,6 +31,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def parse_quant_mode(mode: str):
+    """Parse a CLI quantization mode string into (scheme, bits, groupsize).
+
+    Grammar: ``{gptq|rtn}.int{2,3,4,8}[-g<N>]`` plus the llm.int8 modes:
+
+      * ``gptq.int4``        -> ("gptq", 4, -1)
+      * ``gptq.int3``        -> ("gptq", 3, -1)
+      * ``rtn.int2-g64``     -> ("rtn", 2, 64)
+      * ``llm.int8``         -> ("llm.int8", 8, -1)   (static outlier cols)
+      * ``llm.int8-rtn``     -> ("llm.int8-rtn", 8, -1)
+      * ``llm.int8-dyn``     -> ("llm.int8-dyn", 8, -1) (per-forward bnb
+        threshold-6.0 activation decomposition)
+    """
+    if mode in ("llm.int8", "llm.int8-rtn", "llm.int8-dyn"):
+        return mode, 8, -1
+    groupsize = -1
+    body = mode
+    if "-g" in mode:
+        body, g = mode.rsplit("-g", 1)
+        groupsize = int(g)
+    try:
+        scheme, ib = body.split(".")
+        bits = int(ib.removeprefix("int"))
+        assert scheme in ("gptq", "rtn") and bits in (2, 3, 4, 8)
+    except (ValueError, AssertionError):
+        raise ValueError(
+            f"unknown quantization mode {mode!r} (expected "
+            "{gptq|rtn}.int{2,3,4,8}[-g<N>], llm.int8, or llm.int8-rtn)"
+        ) from None
+    return scheme, bits, groupsize
+
+
 def infer_bits(qweight: jax.Array, in_features: int) -> int:
     if qweight.shape[0] == in_features:
         return 8
@@ -234,6 +266,44 @@ def quantize_int8_outlier(w: jax.Array, outlier_frac: float = 0.005) -> Dict[str
     return out
 
 
+def quantize_int8_dynamic(
+    w: jax.Array, threshold: float = 6.0, max_outlier_frac: float = 0.01
+) -> Dict[str, jax.Array]:
+    """Plain absmax int8 weights + ACTIVATION-dynamic outlier metadata.
+
+    This is the faithful bitsandbytes `Linear8bitLt` scheme the reference
+    wraps (`lit_llama/quantization.py:36-75`): weights are plain per-channel
+    absmax int8, and at every forward the input columns whose activation
+    magnitude exceeds ``threshold`` (bnb default 6.0) are pulled out of the
+    int8 matmul and computed in 16-bit against dequantized weight rows.
+
+    bnb materializes a data-dependent number of outlier columns — jit-hostile
+    on XLA. The TPU-native formulation keeps shapes static: a fixed budget of
+    ``max_outlier_frac·K`` candidate columns is selected per forward with
+    ``top_k`` on the activation column peaks, then gated by the threshold
+    (non-qualifying candidates multiply by zero). Semantics match bnb exactly
+    whenever the true outlier count is within the budget — emergent-outlier
+    models show ~0.1-1% outlier dims (Dettmers et al., LLM.int8()), so 1%
+    is a generous cap. The two sentinel leaves keep the tree arrays-only.
+    """
+    out = quantize_int8_absmax(w)
+    out["dyn_threshold"] = jnp.float32(threshold)
+    out["dyn_budget"] = jnp.zeros(
+        (max(1, int(round(max_outlier_frac * w.shape[0]))),), jnp.int8
+    )
+    return out
+
+
+def _dynamic_outlier_split(x2: jax.Array, threshold, k_out: int):
+    """Per-forward bnb-style decomposition: returns (bulk x with outlier
+    columns zeroed, outlier column ids (k_out,), live gate (k_out,))."""
+    peak = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=0)
+    vals, idx = jax.lax.top_k(peak, k_out)
+    live = (vals > threshold).astype(x2.dtype)  # threshold gate, static shape
+    keep = jnp.ones((x2.shape[-1],), x2.dtype).at[idx].set(1.0 - live)
+    return x2 * keep[None, :], idx, live
+
+
 def find_qparams(w: jax.Array, bits: int, sym: bool = False):
     """Per-output-channel (axis=-1 of (K, N)) scale/zero over the K axis.
 
@@ -382,6 +452,33 @@ def quant_matmul(x: jax.Array, params: Dict[str, jax.Array]) -> jax.Array:
     the XLA path for A/B comparison.
     """
     K = x.shape[-1]
+    if "dyn_threshold" in params:
+        # Activation-dynamic LLM.int8 (bnb `Linear8bitLt` semantics): pull the
+        # per-forward outlier columns out of the quantized matmul and run them
+        # in 16-bit against dequantized weight rows. The bulk goes through the
+        # W8A8 kernel (activations int8-rounded per k-group) — zeroing the
+        # outlier columns is what shrinks its activation scales; the weight
+        # rows need no masking since the zeroed x columns contribute nothing.
+        x2 = x.reshape(-1, K)
+        bulk, idx, live = _dynamic_outlier_split(
+            x2, params["dyn_threshold"], params["dyn_budget"].shape[0]
+        )
+        base = {k: v for k, v in params.items() if not k.startswith("dyn_")}
+        if _on_tpu() and not _FORCE_XLA:
+            from lit_llama_ja_tpu.ops.pallas.quant_matmul import quant_matmul_int8
+
+            y = quant_matmul_int8(
+                bulk, base["qweight"], base["scales"], base["zeros"],
+                out_dtype=x.dtype, unpack="int8dot",
+            )
+        else:
+            y = bulk @ dequantize_with_k(base, K, dtype=x.dtype)
+        w_rows = params["qweight"][idx].astype(x.dtype) * params["scales"][
+            0
+        ][None, :].astype(x.dtype)
+        xs = x2[:, idx] * live[None, :]
+        y = y + xs.astype(x.dtype) @ w_rows
+        return y.reshape(*x.shape[:-1], y.shape[-1])
     if _on_tpu() and not _FORCE_XLA:
         from lit_llama_ja_tpu.ops.pallas.quant_matmul import (
             quant_matmul_int4,

@@ -156,20 +156,27 @@ def gptq_quantize_model(
     return new_params
 
 
-def int8_quantize_model(params, quantize_lm_head: bool = True, outliers: bool = True):
+def int8_quantize_model(params, quantize_lm_head: bool = True, outliers=True):
     """LLM.int8-style weight-only quantization of all Linears (no calibration needed,
     reference `quantize/gptq.py:170` note).
 
-    ``outliers=True`` (default, the reference `Linear8bitLt` bnb semantics) keeps
-    the ~0.5% scale-setting input channels in bf16 and int8-quantizes the bulk
-    against the reduced scales (`quant/linear.quantize_int8_outlier`);
+    ``outliers=True`` (default) keeps the ~0.5% scale-setting input channels
+    in bf16 and int8-quantizes the bulk against the reduced scales — a static,
+    weight-derived outlier set (`quant/linear.quantize_int8_outlier`);
+    ``outliers="dynamic"`` (round 5) is the faithful bnb `Linear8bitLt`
+    semantics: plain int8 weights plus PER-FORWARD threshold-6.0 activation
+    outlier decomposition (`quant/linear.quantize_int8_dynamic`);
     ``outliers=False`` is plain round-to-nearest absmax per channel."""
     from lit_llama_ja_tpu.quant.linear import (
         quantize_int8_absmax,
+        quantize_int8_dynamic,
         quantize_int8_outlier,
     )
 
-    if outliers:
+    if outliers == "dynamic":
+        qfn = lambda w: jax.vmap(quantize_int8_dynamic)(w) if w.ndim == 3 \
+            else quantize_int8_dynamic(w)
+    elif outliers:
         qfn = lambda w: jax.vmap(quantize_int8_outlier)(w) if w.ndim == 3 \
             else quantize_int8_outlier(w)
     else:

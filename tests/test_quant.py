@@ -239,3 +239,98 @@ def test_gptq_int4_pipeline_packs(rng):
     assert qw.shape == (CFG.n_layer, CFG.n_embd // 2, 3 * CFG.n_embd)
     idx = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 8)), jnp.int32)
     forward(qparams, idx, CFG)  # runs without error
+
+
+def _emulated_w8a8(x, params):
+    """The int8 kernel's W8A8 numerics on CPU: activations int8-rounded per
+    row (one k-group), weights dequantized exactly."""
+    from lit_llama_ja_tpu.quant.linear import dequantize_with_k
+
+    amax = np.max(np.abs(np.asarray(x, np.float64)), axis=1, keepdims=True)
+    rsx = 127.0 / np.maximum(amax, 1e-30)
+    xq = np.round(np.asarray(x) * rsx)
+    w = np.asarray(dequantize_with_k(params, x.shape[-1], dtype=jnp.float32))
+    return (xq @ w) / rsx
+
+
+def test_dynamic_int8_outlier_decomposition(rng):
+    """bnb threshold-6.0 semantics (reference `lit_llama/quantization.py:44-48`):
+    on activations with emergent outlier columns, the per-forward decomposition
+    must recover the precision that naive W8A8 loses, and must match the float
+    oracle closely. VERDICT round-4 item #4."""
+    from lit_llama_ja_tpu.quant.linear import (
+        _dynamic_outlier_split,
+        quant_matmul,
+        quantize_int8_dynamic,
+    )
+
+    K, N, M = 128, 64, 8
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    out_cols = np.asarray([5, 42, 97])
+    x[:, out_cols] *= 40.0  # emergent outliers: |x| >> 6
+
+    params = quantize_int8_dynamic(jnp.asarray(w), threshold=6.0,
+                                   max_outlier_frac=0.05)
+    assert params["dyn_budget"].shape == (6,)
+
+    # the split must find exactly the true outlier columns (live gate on)
+    bulk, idx, live = _dynamic_outlier_split(
+        jnp.asarray(x), params["dyn_threshold"], 6
+    )
+    chosen = {int(i) for i, l in zip(np.asarray(idx), np.asarray(live)) if l > 0}
+    assert chosen == set(out_cols.tolist())
+    np.testing.assert_allclose(np.asarray(bulk)[:, out_cols], 0.0)
+
+    oracle = x @ w
+    y_dyn = np.asarray(quant_matmul(jnp.asarray(x), params))
+    # naive W8A8 with the outliers inside: activation scale amax/127 is huge
+    y_naive = _emulated_w8a8(x, {k: v for k, v in params.items()
+                                 if not k.startswith("dyn_")})
+    err_dyn = np.abs(y_dyn - oracle).max()
+    err_naive = np.abs(y_naive - oracle).max()
+    # the decomposition must remove most of the activation-rounding error the
+    # outliers induce; what remains is the weight-rounding floor BOTH paths
+    # share (the fair lower bound)
+    from lit_llama_ja_tpu.quant.linear import dequantize_with_k
+
+    w_deq = np.asarray(dequantize_with_k(
+        {k: v for k, v in params.items() if not k.startswith("dyn_")}, K,
+        dtype=jnp.float32,
+    ))
+    err_wfloor = np.abs(x @ w_deq - oracle).max()
+    assert err_dyn < 0.33 * err_naive, (err_dyn, err_naive)
+    # CPU path: bulk is exact dequant, so only weight rounding remains
+    assert err_dyn < err_wfloor * 1.2 + 1e-6, (err_dyn, err_wfloor)
+
+
+def test_dynamic_int8_no_outliers_is_plain_int8(rng):
+    """Below-threshold activations: the gate stays closed and the result equals
+    the plain absmax-int8 matmul bit-for-bit (CPU path)."""
+    from lit_llama_ja_tpu.quant.linear import (
+        quant_matmul,
+        quantize_int8_absmax,
+        quantize_int8_dynamic,
+    )
+
+    K, N, M = 64, 32, 4
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = rng.normal(size=(M, K)).astype(np.float32)  # |x| ~ 1 << 6
+    params_d = quantize_int8_dynamic(jnp.asarray(w))
+    params_p = quantize_int8_absmax(jnp.asarray(w))
+    y_d = np.asarray(quant_matmul(jnp.asarray(x), params_d))
+    y_p = np.asarray(quant_matmul(jnp.asarray(x), params_p))
+    np.testing.assert_array_equal(y_d, y_p)
+
+
+def test_dynamic_int8_model_forward(rng):
+    """int8_quantize_model(outliers='dynamic') produces a tree the model runs,
+    and the sentinel leaves survive the stacked-layer scan."""
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    qparams = int8_quantize_model(params, outliers="dynamic")
+    leaf = qparams["blocks"]["attn"]["c_attn"]
+    assert "dyn_threshold" in leaf and leaf["dyn_threshold"].shape == (CFG.n_layer,)
+    idx = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 8)), jnp.int32)
+    base = np.asarray(forward(params, idx, CFG))
+    quant = np.asarray(forward(qparams, idx, CFG))
+    assert np.abs(base - quant).max() < 0.25 * (np.abs(base).max() + 1)

@@ -139,10 +139,21 @@ def step_pretrain(model_size: str, iters: int, micro_bs: int, lr: float):
     ])
 
 
-def step_gptq(model_size: str, iters: int):
+GPTQ_MODES = ("gptq.int4", "gptq.int8", "gptq.int3", "gptq.int2",
+              "gptq.int2-g64")  # round 5: sub-4-bit grid (VERDICT #1/#3)
+
+
+def _gptq_dest(model_size: str, mode: str):
+    tag = mode.removeprefix("gptq.int").replace("-g", "bit-g")
+    if "-g" not in mode:
+        tag += "bit"
+    return OUT / model_size / f"llama-gptq.{tag}"
+
+
+def step_gptq(model_size: str, iters: int, modes=GPTQ_MODES):
     ckpt = OUT / model_size / f"iter-{iters:06d}-ckpt"
-    for mode, bits in (("gptq.int4", 4), ("gptq.int8", 8)):
-        dest = OUT / model_size / f"llama-gptq.{bits}bit"
+    for mode in modes:
+        dest = _gptq_dest(model_size, mode)
         if dest.exists():
             print(f"{dest} exists, skipping")
             continue
@@ -164,7 +175,14 @@ def step_evaluate(model_size: str, iters: int, kv_cache=None):
         (ckpt, "llm.int8-rtn", "llm.int8-rtn (plain absmax)"),
         (OUT / model_size / "llama-gptq.8bit", None, "gptq.int8"),
         (OUT / model_size / "llama-gptq.4bit", None, "gptq.int4"),
+        (ckpt, "rtn.int4", "rtn.int4"),
+        (OUT / model_size / "llama-gptq.3bit", None, "gptq.int3"),
+        (ckpt, "rtn.int3", "rtn.int3"),
+        (OUT / model_size / "llama-gptq.2bit", None, "gptq.int2"),
+        (OUT / model_size / "llama-gptq.2bit-g64", None, "gptq.int2-g64"),
+        (ckpt, "rtn.int2-g64", "rtn.int2-g64"),
     ]
+    rows = [r for r in rows if r[1] is not None or Path(r[0]).exists()]
     for path, quant, label in rows:
         print(f"=== evaluate {model_size} {label} ===", flush=True)
         cmd = [
