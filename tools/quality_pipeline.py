@@ -43,13 +43,38 @@ def run(cmd, **kw):
     subprocess.run([str(c) for c in cmd], check=True, cwd=str(REPO), env=env, **kw)
 
 
-def step_corpus():
-    """Deterministic local corpus: site-packages .py sources, sorted walk."""
+def step_corpus(source: str = "local"):
+    """Corpus for the quality gate.
+
+    ``source="local"`` (default, zero-egress): deterministic site-packages
+    .py sources, sorted walk. ``source="wikitext"`` (networked machines —
+    VERDICT round-4 item #6): WikiText-2-raw via `datasets`, so the BASELINE
+    Δppl protocol regenerates on its defining corpus unchanged — same splits,
+    same downstream commands.
+    """
     if (CORPUS / "train.txt").exists():
         print("corpus exists, skipping")
         return
     CORPUS.mkdir(parents=True, exist_ok=True)
     (CORPUS / "train_dir").mkdir(exist_ok=True)
+    if source == "wikitext":
+        try:
+            from datasets import load_dataset
+
+            ds = load_dataset("wikitext", "wikitext-2-raw-v1")
+        except Exception as e:
+            raise SystemExit(
+                f"--corpus wikitext needs network egress + the `datasets` "
+                f"package: {e}"
+            )
+        train = "\n".join(ds["train"]["text"])
+        (CORPUS / "val.txt").write_text("\n".join(ds["validation"]["text"]))
+        # C4-shaped calibration from the train tail; train keeps the rest
+        calib_len = int(CALIB_MB * 1e6)
+        (CORPUS / "calib.txt").write_text(train[-calib_len:])
+        (CORPUS / "train_dir" / "train.txt").write_text(train[:-calib_len])
+        print("corpus: wikitext-2-raw splits written")
+        return
     import sysconfig
 
     sp = Path(sysconfig.get_paths()["purelib"])
@@ -206,11 +231,12 @@ def main():
     ap.add_argument("--micro-bs", type=int, default=8)
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--kv-cache", default=None)
+    ap.add_argument("--corpus", default="local", choices=("local", "wikitext"))
     args = ap.parse_args()
     for s in args.steps.split(","):
         s = s.strip()
         if s == "corpus":
-            step_corpus()
+            step_corpus(args.corpus)
         elif s == "tokenizer":
             step_tokenizer()
         elif s == "prepare":
