@@ -302,7 +302,7 @@ def quant_matmul_int3(
     K = x.shape[-1]
     Kq8, N = qweight_hi.shape
     Kp = Kq8 * 8
-    assert qweight.shape[0] * 4 == Kp and 0 <= Kp - K < 1024
+    assert qweight.shape[0] * 4 == Kp and 0 <= Kp - K < 2048
     n_groups = scales.shape[0]
     out_dtype = out_dtype or x.dtype
 
@@ -421,7 +421,7 @@ def quant_matmul_int2(
     K = x.shape[-1]
     Kq4, N = qweight.shape
     Kp = Kq4 * 4
-    assert 0 <= Kp - K < 1024
+    assert 0 <= Kp - K < 2048
     n_groups = scales.shape[0]
     out_dtype = out_dtype or x.dtype
 

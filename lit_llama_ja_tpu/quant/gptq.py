@@ -236,5 +236,5 @@ def gptq_quantize_linear(
         actorder=actorder,
         sym=sym,
     )
-    params = pack_prequantized(Q.T, scales.T, zeros.T, bits)
+    params = pack_prequantized(Q.T, scales.T, zeros.T, bits, groupsize=groupsize)
     return params, err

@@ -63,12 +63,19 @@ def parse_quant_mode(mode: str):
     return scheme, bits, groupsize
 
 
+def _is_sub4_rows(rows: int, in_features: int) -> bool:
+    """rows·4 covers a plausibly-padded K: [default pad, +one group quantum)."""
+    return sub4_pad_rows(in_features) <= rows * 4 < in_features + 2048
+
+
 def infer_bits(qweight: jax.Array, in_features: int) -> int:
+    # exact matches first — the sub-4-bit row range is checked last so a
+    # small-K int4 pack can never be mistaken for a padded int2 one
     if qweight.shape[0] == in_features:
         return 8
     if qweight.shape[0] * 2 == in_features:
         return 4
-    if qweight.shape[0] * 4 == sub4_pad_rows(in_features):
+    if _is_sub4_rows(qweight.shape[0], in_features):
         return 2
     raise ValueError(
         f"qweight rows {qweight.shape[0]} incompatible with in_features {in_features}"
@@ -79,7 +86,7 @@ def infer_bits_params(params: Dict[str, jax.Array], in_features: int) -> int:
     """Bit width of a quantized-linear leaf dict. int3 shares the int2 packed
     shape for its low bits and is distinguished by the ``qweight_hi`` plane."""
     if "qweight_hi" in params:
-        assert params["qweight"].shape[-2] * 4 == sub4_pad_rows(in_features)
+        assert _is_sub4_rows(params["qweight"].shape[-2], in_features)
         return 3
     return infer_bits(params["qweight"], in_features)
 
@@ -130,7 +137,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def sub4_pad_rows(K: int) -> int:
+def sub4_pad_rows(K: int, groupsize: int = -1) -> int:
     """Padded K for the sub-4-bit pack formats.
 
     Multiples of 8 so the bit plane packs; large dims are rounded up to 1024
@@ -140,8 +147,18 @@ def sub4_pad_rows(K: int) -> int:
     padding that matmul runs as one un-pipelined grid step). Padded rows hold
     level 0 and are sliced off on dequant; the kernel zero-pads the matching
     activation lanes, so they contribute exactly nothing.
+
+    ``groupsize``: grouped layouts additionally pad so scale groups tile the
+    padded K UNIFORMLY (the kernel's in-tile group slicing needs equal
+    groups; e.g. the 125M model's K=780 with groupsize 64 pads to 832 = 13
+    whole groups). `infer_bits` accepts the resulting row-count range.
     """
-    return _round_up(K, 1024 if K >= 2048 else 8)
+    import math
+
+    quantum = 1024 if K >= 2048 else 8
+    if groupsize and groupsize > 0:
+        quantum = math.lcm(quantum, groupsize)
+    return _round_up(K, quantum)
 
 
 def _pad_rows_to(q: jax.Array, rows: int) -> jax.Array:
@@ -341,7 +358,7 @@ def quantize_colblock(
     if bits in (2, 3):
         # pad up front (zero rows) so the tile grid covers the padded K the
         # pack formats store — keeps grouped scales uniform over every k-tile
-        w = _pad_rows_to(w, sub4_pad_rows(K))
+        w = _pad_rows_to(w, sub4_pad_rows(K, tile_cols))
         K = w.shape[0]
     tile = K if tile_cols == -1 else tile_cols
     n_tiles = (K + tile - 1) // tile
@@ -364,25 +381,30 @@ def quantize_colblock(
 
 
 def pack_prequantized(
-    q_levels: jax.Array, scales: jax.Array, zeros: jax.Array, bits: int
+    q_levels: jax.Array, scales: jax.Array, zeros: jax.Array, bits: int,
+    groupsize: int = -1,
 ) -> Dict[str, jax.Array]:
-    """Pack already-chosen levels (e.g. from the GPTQ solver). q_levels: (K, N)."""
+    """Pack already-chosen levels (e.g. from the GPTQ solver). q_levels: (K, N).
+
+    ``groupsize``: for grouped sub-4-bit layouts, K pads so groups tile the
+    stored rows uniformly (see `sub4_pad_rows`); the solver's ragged last
+    group keeps its scale row — padded columns hold level 0 and matmul
+    against zeroed activation lanes, contributing nothing either way."""
     if bits in (2, 3):
-        # grouped scales must tile the PADDED K the pack formats store
         K = q_levels.shape[0]
-        Kp = sub4_pad_rows(K)
-        if Kp != K and scales.shape[0] > 1:
-            gs = K // scales.shape[0]
-            assert scales.shape[0] * gs == K and Kp % gs == 0, (
-                f"groupsize {gs} must divide the padded K {Kp}"
-            )
-            extra = Kp // gs - scales.shape[0]
-            scales = jnp.concatenate(
-                [scales, jnp.ones((extra, scales.shape[1]), scales.dtype)]
-            )
-            zeros = jnp.concatenate(
-                [zeros, jnp.zeros((extra, zeros.shape[1]), zeros.dtype)]
-            )
+        Kp = sub4_pad_rows(K, groupsize)
+        q_levels = _pad_rows_to(q_levels, Kp)
+        if groupsize and groupsize > 0:
+            need = Kp // groupsize
+            extra = need - scales.shape[0]
+            assert extra >= 0, (scales.shape, need, K, Kp, groupsize)
+            if extra:
+                scales = jnp.concatenate(
+                    [scales, jnp.ones((extra, scales.shape[1]), scales.dtype)]
+                )
+                zeros = jnp.concatenate(
+                    [zeros, jnp.zeros((extra, zeros.shape[1]), zeros.dtype)]
+                )
     out = {"scales": scales, "zeros": zeros}
     if bits == 4:
         out["qweight"] = pack_int4(q_levels)
