@@ -271,6 +271,7 @@ def paged_block_chain(
     attn_chunk: Optional[int] = None,
     defer_commit: bool = False,
     prefill_attn: bool = False,
+    _ablate: Optional[str] = None,
 ) -> Tuple[jax.Array, PagePool]:
     """The transformer-block chain of `paged_forward` (everything between the
     embedding and the final norm), factored out so pipeline-parallel decode
@@ -279,7 +280,14 @@ def paged_block_chain(
 
     ``defer_commit=True`` keeps the pool strictly read-only and returns
     ``(x, writes, page_idx, offs)`` for a separate `commit_writes_jit`
-    dispatch (see the two-dispatch rationale at `commit_writes_jit`)."""
+    dispatch (see the two-dispatch rationale at `commit_writes_jit`).
+
+    ``_ablate`` (measurement-only, `tools/bench_serving_account.py`): replace
+    a phase of the step with a shape-preserving cheap stand-in so the OTHER
+    phase can be timed in situ — "no_attn" (attention+gather → y = q),
+    "no_matmul" (weight matmuls → tile/slice ops; gather+attention intact),
+    "skeleton" (both). Never set on serving paths; results are numerically
+    meaningless by construction."""
     B, T = x.shape[:2]
     page = pool["k"].shape[3]  # leaves are (L, n_pages, nh, page, hd)
     nh, hd = config.n_head, config.head_dim
@@ -303,7 +311,10 @@ def paged_block_chain(
 
     def qkv_writes(x, block_params):
         h = rmsnorm(x, block_params["rms_1"]["scale"], config.norm_eps)
-        qkv = apply_linear(block_params["attn"]["c_attn"], h)
+        if _ablate in ("no_matmul", "skeleton"):
+            qkv = jnp.concatenate([h, h, h], axis=-1)  # shape stand-in
+        else:
+            qkv = apply_linear(block_params["attn"]["c_attn"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = rot(q.reshape(B, T, nh, hd))
         k = rot(k.reshape(B, T, nh, hd))
@@ -328,6 +339,10 @@ def paged_block_chain(
 
     def finish(x, block_params, y):
         y = y.transpose(0, 2, 1, 3).reshape(B, T, config.n_embd)
+        if _ablate in ("no_matmul", "skeleton"):
+            x = x + y
+            h = rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps)
+            return x + h
         x = x + apply_linear(block_params["attn"]["c_proj"], y)
         h = rmsnorm(x, block_params["rms_2"]["scale"], config.norm_eps)
         if "moe" in block_params:
@@ -402,7 +417,9 @@ def paged_block_chain(
         block_params, l = layer_in
         q, writes, raw_kv = qkv_writes(x, block_params)
         cache_l = {key: val[l] for key, val in pool.items()}
-        if prefill_attn:
+        if _ablate in ("no_attn", "skeleton"):
+            y = q.transpose(0, 2, 1, 3)  # skip gather+attention (measurement)
+        elif prefill_attn:
             # Prefill-from-empty (static caller promise: the span starts at
             # position 0 on freshly allocated pages): the gathered pool is
             # entirely masked, so skip the (B, nh, AP*page, hd) gather +
@@ -495,7 +512,9 @@ commit_writes_jit = jax.jit(commit_writes, donate_argnums=(0,))
 
 @partial(
     jax.jit,
-    static_argnames=("config", "quantized", "attn_chunk", "prefill_attn"),
+    static_argnames=(
+        "config", "quantized", "attn_chunk", "prefill_attn", "_ablate"
+    ),
 )
 def paged_forward_read(
     params,
@@ -507,6 +526,7 @@ def paged_forward_read(
     quantized: bool,
     attn_chunk: Optional[int] = None,
     prefill_attn: bool = False,
+    _ablate: Optional[str] = None,
 ):
     """Read-only half of `paged_forward`: the pool is NOT donated and never
     written — the span's K/V comes back as ``writes`` for a separate
@@ -519,14 +539,23 @@ def paged_forward_read(
     x, writes, page_idx, offs = paged_block_chain(
         params["blocks"], pool, x, pos, tables, config, quantized,
         attn_chunk=attn_chunk, defer_commit=True, prefill_attn=prefill_attn,
+        _ablate=_ablate,
     )
     x = rmsnorm(x, params["ln_f"]["scale"], config.norm_eps)
+    if _ablate in ("no_matmul", "skeleton"):
+        # V-wide logits without streaming the lm_head weight (measurement)
+        V = params["lm_head"]["qweight"].shape[-1] if "qweight" in \
+            params["lm_head"] else params["lm_head"]["weight"].shape[-1]
+        return jnp.broadcast_to(x[..., :1], (*x.shape[:-1], V)), \
+            writes, page_idx, offs
     return apply_linear(params["lm_head"], x), writes, page_idx, offs
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "quantized", "top_k", "top_p", "attn_chunk"),
+    static_argnames=(
+        "config", "quantized", "top_k", "top_p", "attn_chunk", "_ablate"
+    ),
 )
 def _paged_decode_read_and_sample(
     params,
@@ -541,12 +570,13 @@ def _paged_decode_read_and_sample(
     top_k: Optional[int],
     top_p: Optional[float] = None,
     attn_chunk: Optional[int] = None,
+    _ablate: Optional[str] = None,
 ):
     """Two-dispatch decode, read half: like `_paged_decode_and_sample` but the
     pool stays read-only; pair with `commit_writes_jit`."""
     logits, writes, page_idx, offs = paged_forward_read(
         params, toks[:, None], pos[:, None], tables, pool, config, quantized,
-        attn_chunk,
+        attn_chunk, _ablate=_ablate,
     )
     nxt = sample_next_token(logits[:, 0], key, temps, top_k, top_p)
     return nxt, writes, page_idx, offs

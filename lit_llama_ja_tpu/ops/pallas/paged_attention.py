@@ -249,10 +249,10 @@ def paged_decode_attention_db(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, nh, hd), lambda b, tbl, pos: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, nh, hd), lambda b, tbl, pos: (b, 0, 0)),
         scratch_shapes=[

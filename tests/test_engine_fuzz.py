@@ -21,6 +21,7 @@ def model():
     return init_params(jax.random.PRNGKey(0), CFG)
 
 
+@pytest.mark.slow
 def test_fuzz_staggered_arrivals_exact(model):
     """Requests arrive mid-flight (staggered), the pool is tight (13 pages for
     3 slots -> constant queueing/preemption), prefill is chunked. Collect every
@@ -65,6 +66,7 @@ def test_fuzz_staggered_arrivals_exact(model):
         )
 
 
+@pytest.mark.slow
 def test_fuzz_mixed_eos_and_lengths(model):
     rng = np.random.default_rng(31337)
     # pick an eos that actually occurs in some greedy streams

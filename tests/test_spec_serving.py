@@ -110,6 +110,7 @@ def test_chunked_prefill_composes(target, draft, rng):
     np.testing.assert_array_equal(got[0], want[0])
 
 
+@pytest.mark.slow
 def test_sampling_smoke(target, draft, rng):
     prompt = rng.integers(0, 64, size=(5,)).astype(np.int32)
     out = _spec(target, draft, draft_k=3).run(
@@ -196,6 +197,7 @@ def test_adaptive_k_matches_plain_engine(target, draft, rng):
         np.testing.assert_array_equal(got[rid], want[rid])
 
 
+@pytest.mark.slow
 def test_adaptive_k_grows_on_perfect_draft(target, rng):
     """Self-draft (acceptance 1.0) should drive K up from k_min."""
     prompt = rng.integers(0, 64, size=(5,)).astype(np.int32)

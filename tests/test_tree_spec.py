@@ -74,6 +74,7 @@ def test_greedy_matches_plain_engine(target, draft, rng):
 
 
 @pytest.mark.parametrize("tree", [(1,), (3,), (2, 2), (2, 1, 1), (4, 2)])
+@pytest.mark.slow
 def test_greedy_matches_across_tree_shapes(target, draft, rng, tree):
     prompt = rng.integers(0, 64, size=(6,)).astype(np.int32)
     want = _plain(target).run([(prompt, 15)])
@@ -81,6 +82,7 @@ def test_greedy_matches_across_tree_shapes(target, draft, rng, tree):
     np.testing.assert_array_equal(got[0], want[0])
 
 
+@pytest.mark.slow
 def test_exact_lengths_and_budget(target, draft, rng):
     prompt = rng.integers(0, 64, size=(4,)).astype(np.int32)
     for mnt in (1, 2, 7):
@@ -98,6 +100,7 @@ def test_eos_stops_mid_round(target, draft, rng):
     assert len(out[0]) == len(prompt) + 3
 
 
+@pytest.mark.slow
 def test_self_draft_full_acceptance(target, rng):
     """Draft == target: the top-1 child is always accepted, so every round
     emits depth+1 tokens and outputs stay exact."""
@@ -133,6 +136,7 @@ def test_chunked_prefill_composes(target, draft, rng):
 
 
 @pytest.mark.parametrize("qkv", [True, "int4"])
+@pytest.mark.slow
 def test_quantized_kv_pool_greedy_match(target, draft, rng, qkv):
     """The commit path quantizes the accepted tree K/V with the same math the
     plain engine's write path uses — greedy streams must stay identical."""
@@ -142,6 +146,7 @@ def test_quantized_kv_pool_greedy_match(target, draft, rng, qkv):
     np.testing.assert_array_equal(got[0], want[0])
 
 
+@pytest.mark.slow
 def test_sampling_smoke(target, draft, rng):
     prompt = rng.integers(0, 64, size=(5,)).astype(np.int32)
     out = _tree(target, draft, tree=(3, 2)).run(
@@ -151,6 +156,7 @@ def test_sampling_smoke(target, draft, rng):
     assert (out[0] >= 0).all() and (out[0] < 64).all()
 
 
+@pytest.mark.slow
 def test_walk_preserves_target_distribution(rng):
     """Monte-Carlo exactness of the recursive rejection walk: whatever the
     draft proposes, the FIRST emitted token of a round must be distributed as

@@ -142,12 +142,13 @@ def step_prepare():
     ])
 
 
-def step_pretrain(model_size: str, iters: int, micro_bs: int, lr: float):
+def step_pretrain(model_size: str, iters: int, micro_bs: int, lr: float,
+                  remat: bool = False):
     ckpt = OUT / model_size / f"iter-{iters:06d}-ckpt"
     if ckpt.exists():
         print(f"{ckpt} exists, skipping")
         return
-    run([
+    cmd = [
         sys.executable, "pretrain/redpajama.py",
         "--train-data-dir", OUT / "packed",
         "--train-prefixes", "quality",
@@ -161,7 +162,13 @@ def step_pretrain(model_size: str, iters: int, micro_bs: int, lr: float):
         "--save-interval", 1000000,
         "--eval-interval", 1000000,
         "--log-interval", 100,
-    ])
+    ]
+    if remat:
+        # the 125M grid model at micro_bs 8×2048 OOMs without per-block
+        # activation checkpointing (18.9 G > 15.75 G hbm: 12 naive-attention
+        # score tensors held for backward)
+        cmd += ["--remat", "true"]
+    run(cmd)
 
 
 GPTQ_MODES = ("gptq.int4", "gptq.int8", "gptq.int3", "gptq.int2",
@@ -198,6 +205,7 @@ def step_evaluate(model_size: str, iters: int, kv_cache=None):
         (ckpt, None, "fp32"),
         (ckpt, "llm.int8", "llm.int8 (outlier-aware)"),
         (ckpt, "llm.int8-rtn", "llm.int8-rtn (plain absmax)"),
+        (ckpt, "llm.int8-dyn", "llm.int8-dyn (per-forward outliers)"),
         (OUT / model_size / "llama-gptq.8bit", None, "gptq.int8"),
         (OUT / model_size / "llama-gptq.4bit", None, "gptq.int4"),
         (ckpt, "rtn.int4", "rtn.int4"),
@@ -232,6 +240,7 @@ def main():
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--kv-cache", default=None)
     ap.add_argument("--corpus", default="local", choices=("local", "wikitext"))
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     for s in args.steps.split(","):
         s = s.strip()
@@ -242,7 +251,8 @@ def main():
         elif s == "prepare":
             step_prepare()
         elif s == "pretrain":
-            step_pretrain(args.model_size, args.iters, args.micro_bs, args.lr)
+            step_pretrain(args.model_size, args.iters, args.micro_bs, args.lr,
+                          remat=args.remat)
         elif s == "gptq":
             step_gptq(args.model_size, args.iters)
         elif s == "evaluate":
