@@ -70,6 +70,64 @@ def weight_bytes_per_token(config: LLaMAConfig) -> float:
     return L * per_layer + (D * V) / 2 + V * D * 2  # + lm_head int4 + wte bf16 row gather (negligible)
 
 
+def synth_sub4_params(config: LLaMAConfig, key, bits: int):
+    """Random packed int2/int3 params (pack formats of quant/linear.py:
+    qweight (Kp//4, N) low-bit planes, int3 adds a (Kp//8, N) high-bit plane;
+    K pads per `sub4_pad_rows` so the kernel keeps a 128-aligned k-grid)."""
+    from lit_llama_ja_tpu.quant.linear import sub4_pad_rows
+
+    L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
+    ks = iter(jax.random.split(key, 16))
+
+    def qlin(k, kin, nout):
+        Kp = sub4_pad_rows(kin)
+        d = {
+            "qweight": jax.random.randint(k, (Kp // 4, nout), 0, 255, jnp.int32
+                                          ).astype(jnp.uint8),
+            "scales": jnp.full((1, nout), 0.01, jnp.float32),
+            "zeros": jnp.full((1, nout), float(2 ** (bits - 1)), jnp.float32),
+        }
+        if bits == 3:
+            d["qweight_hi"] = jax.random.randint(
+                jax.random.fold_in(k, 1), (Kp // 8, nout), 0, 255, jnp.int32
+            ).astype(jnp.uint8)
+        return d
+
+    def qlin_stack(k, kin, nout):
+        lin = qlin(k, kin, nout)
+        return jax.tree.map(lambda a: jnp.broadcast_to(a[None], (L, *a.shape)), lin)
+
+    std = 0.02
+    return {
+        "wte": {"weight": (jax.random.normal(next(ks), (V, D), jnp.bfloat16) * std)},
+        "lm_head": qlin(next(ks), D, V),
+        "ln_f": {"scale": jnp.ones((D,), jnp.bfloat16)},
+        "blocks": {
+            "rms_1": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "attn": {
+                "c_attn": qlin_stack(next(ks), D, 3 * D),
+                "c_proj": qlin_stack(next(ks), D, D),
+            },
+            "rms_2": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "mlp": {
+                "c_fc1": qlin_stack(next(ks), D, H),
+                "c_fc2": qlin_stack(next(ks), D, H),
+                "c_proj": qlin_stack(next(ks), H, D),
+            },
+        },
+    }
+
+
+def sub4_weight_bytes_per_token(config: LLaMAConfig, bits: int) -> float:
+    from lit_llama_ja_tpu.quant.linear import sub4_pad_rows
+
+    L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
+    Dp, Hp = sub4_pad_rows(D), sub4_pad_rows(H)
+    frac = bits / 8.0
+    per_layer = (Dp * 3 * D + Dp * D + 2 * Dp * H + Hp * D) * frac
+    return L * per_layer + Dp * V * frac + V * D * 2
+
+
 def synth_int8_params(config: LLaMAConfig, key):
     """Random int8 weight-only params (qweight int8 (K, N) + absmax scales)."""
     L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
@@ -140,6 +198,22 @@ def main():
     decode_steps = 32
 
     config = LLaMAConfig.from_name(model)
+    # `python bench.py int2|int3|int8` prints that config in the same JSON
+    # format (for A/B runs); the no-arg default below stays the recorded
+    # headline: BASELINE's metric is defined on gptq.int4.
+    alt = sys.argv[1] if len(sys.argv) > 1 else None
+    if alt in ("int2", "int3"):
+        bits = int(alt[-1])
+        p = synth_sub4_params(config, jax.random.PRNGKey(0), bits)
+        tps = measure_decode(p, config, batch, seq, decode_steps)
+        roof = HBM_GBPS * 1e9 / sub4_weight_bytes_per_token(config, bits)
+        print(json.dumps({
+            "metric": f"llama-{model}-gptq.{alt}-decode-tokens/s/chip",
+            "value": round(tps, 2), "unit": "tokens/s",
+            "vs_baseline": round(tps / roof, 4),
+        }))
+        return
+
     params = synth_int4_params(config, jax.random.PRNGKey(0))
     # north-star config: int4 weights + INT4 head-pair-packed KV cache
     # (round 3: decode-path ppl of int4-KV measured indistinguishable from fp
@@ -148,14 +222,20 @@ def main():
     toks_per_s = measure_decode(params, config, batch, seq, decode_steps)
     del params
 
-    # int8 weight-only single-stream comparison point (stderr — the driver
-    # parses the single stdout JSON line below): twice the weight bytes, so
-    # a correctly bandwidth-bound int4 path must beat it single-stream.
+    # comparison points (stderr — the driver parses the single stdout JSON
+    # line below): int8 weight-only must lose single-stream (2x the weight
+    # bytes); int2 is the round-5 fewer-HBM-bytes lever (QUALITY.md 125M grid
+    # carries its measured Δppl).
     params8 = synth_int8_params(config, jax.random.PRNGKey(1))
     toks_int8 = measure_decode(params8, config, batch, seq, decode_steps)
+    del params8
+    params2 = synth_sub4_params(config, jax.random.PRNGKey(2), 2)
+    toks_int2 = measure_decode(params2, config, batch, seq, decode_steps)
+    del params2
     print(
-        f"# llama-{model}-llm.int8-decode-tokens/s/chip: {toks_int8:.2f} "
-        "(comparison point; the one JSON line below is the headline)",
+        f"# llama-{model}-llm.int8-decode-tokens/s/chip: {toks_int8:.2f}; "
+        f"gptq.int2 {toks_int2:.2f} "
+        "(comparison points; the one JSON line below is the headline)",
         file=sys.stderr,
     )
 

@@ -478,7 +478,17 @@ def commit_writes(
     offs: jax.Array,  # (B, T)
 ) -> PagePool:
     """Write per-(slot, token) KV entries for all layers into the pool via a
-    chain of in-place dynamic-update-slices on the donated buffers."""
+    chain of in-place dynamic-update-slices on the donated buffers.
+
+    The chain is UNROLLED for decode-sized writes (BT ≤ 64): a
+    ``lax.fori_loop`` carries the multi-GB pool leaves through the while
+    loop, and XLA relayout-copies every carried leaf at while-entry AND
+    while-exit — measured 33 ms/step for a B=24 7B int4 pool (~3.4 GB × 2
+    copies) vs **1.7 ms** unrolled (dispatch floor; the same while-carry
+    copy effect that motivated the loop-invariant pool in
+    `paged_block_chain`). Prefill-sized commits (BT up to thousands) keep
+    the fori_loop — unrolling would explode compile time, and the one-time
+    ~30 ms is amortized over the whole span."""
     BT = page_idx.size
     flat = {
         key: val.reshape(val.shape[0], BT, *val.shape[3:])
@@ -498,6 +508,10 @@ def commit_writes(
             )
         return new
 
+    if BT <= 64:
+        for i in range(BT):
+            pool = write_one(i, pool)
+        return pool
     return jax.lax.fori_loop(0, BT, write_one, pool)
 
 
@@ -580,6 +594,52 @@ def _paged_decode_read_and_sample(
     )
     nxt = sample_next_token(logits[:, 0], key, temps, top_k, top_p)
     return nxt, writes, page_idx, offs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "quantized", "top_k", "top_p", "attn_chunk"),
+    donate_argnums=(4,),
+)
+def _paged_decode_step_pipelined(
+    params,
+    toks: jax.Array,  # (B,)
+    pos: jax.Array,  # (B,)
+    tables: jax.Array,  # (B, AP)
+    pool: PagePool,  # donated
+    pending_writes: Dict[str, jax.Array],  # PREVIOUS step's writes (L, B, 1, ...)
+    pending_pi: jax.Array,
+    pending_of: jax.Array,
+    key: jax.Array,
+    temps: jax.Array,
+    config: LLaMAConfig,
+    quantized: bool,
+    top_k: Optional[int],
+    top_p: Optional[float] = None,
+    attn_chunk: Optional[int] = None,
+):
+    """One-dispatch decode with a LAG-1 commit: apply the *previous* step's
+    writes to the donated pool first (unrolled in-place DUS chain — all
+    writes strictly precede all reads, so XLA's copy insertion keeps the
+    donated buffers in place), then run the read-only forward on the updated
+    pool. Semantically identical to read-then-commit: step t's attention must
+    see tokens through pos_t − 1, which are exactly step t−1's writes.
+
+    Why not a separate commit dispatch: on this platform a donated buffer
+    that any OTHER executable has consumed never aliases — the commit pays a
+    full pool copy (~29 ms for the B=24 7B int4 pool) every step. Donation
+    across THIS program chains producer→consumer (pool_out(t) = pool_in(t+1))
+    and aliases cleanly (measured: 103 → ~70 ms/step, tools/
+    bench_serving_account.py). The engine flushes the pending writes through
+    `commit_writes_jit` whenever the slot set changes (admission, retirement,
+    prefill) — see `PagedEngine._flush_pending`."""
+    pool = commit_writes(pool, pending_writes, pending_pi, pending_of)
+    logits, writes, page_idx, offs = paged_forward_read(
+        params, toks[:, None], pos[:, None], tables, pool, config, quantized,
+        attn_chunk,
+    )
+    nxt = sample_next_token(logits[:, 0], key, temps, top_k, top_p)
+    return nxt, writes, page_idx, offs, pool
 
 
 @partial(
@@ -671,6 +731,7 @@ class PagedEngine:
         pp_mesh=None,
         pp_microbatches: int = 1,
         pp_split: bool = True,
+        pipelined_commit: bool = False,
     ):
         """``prefill_chunk``: process prompts in chunks of at most this many
         tokens, interleaved with decode steps — a long prompt no longer stalls
@@ -702,6 +763,18 @@ class PagedEngine:
         self.pool = init_page_pool(
             config, n_pages, page_size, jnp.bfloat16, quantize_kv
         )
+        # LAG-1 commit pipeline (single-chip two-dispatch path only): the
+        # decode step's writes are held and applied at the START of the next
+        # decode program (`_paged_decode_step_pipelined`). In dispatch-
+        # pattern microbenches the separate commit pays a full pool copy
+        # (donated buffer with a prior consumer never aliases on this
+        # platform) and the one-dispatch form wins 103 → 65 ms/step; through
+        # the REAL engine loop (whose per-step host token download retires
+        # the read before the commit executes) the two forms measure within
+        # ±5% (tools/bench_engine_steady.py), so the simpler two-dispatch
+        # path stays the default. Flushed on any structural event.
+        self._pipelined = pipelined_commit and pp_mesh is None
+        self._pending: Optional[tuple] = None
         self._pp_step = self._pp_prefill = self._pp_commit = None
         if pp_mesh is not None:
             from lit_llama_ja_tpu.parallel.pipeline import shard_params_pp
@@ -857,6 +930,7 @@ class PagedEngine:
     def _prefill_span(self, toks, start_pos, table_pages, want_logits=True):
         """Run prefill for ``toks`` at absolute positions ``start_pos..``, writing
         into ``table_pages`` (plus trailing trash entries for padding)."""
+        self._flush_pending()
         T = len(toks)
         P = bucket_length(T)
         # attend width: all pages up to the end of the padded span, power-of-2
@@ -1019,7 +1093,18 @@ class PagedEngine:
                     slot, st["req"], logits, st["resuming"], st["total_len"]
                 )
 
+    def _flush_pending(self) -> None:
+        """Apply the lag-1 pending decode writes through the standalone
+        commit. Must run before anything structural touches the pool or page
+        ownership: prefill spans (they read/write the pool), retirement (the
+        pending write targets pages about to be freed/reused), preemption."""
+        if self._pending is not None:
+            w, pi, of = self._pending
+            self._pending = None
+            self.pool = commit_writes_jit(self.pool, w, pi, of)
+
     def _retire(self, req: _PagedRequest):
+        self._flush_pending()
         slot = req.slot
         # shared pages were ref-bumped at admit; owned pages drop to free
         self._release(self.tables[slot, : self.n_owned[slot]])
@@ -1119,10 +1204,33 @@ class PagedEngine:
                     self.top_k,
                     self.top_p,
                 )
+        elif self._pipelined and self._pending is not None:
+            # lag-1 pipelined decode: ONE dispatch applies the previous
+            # step's writes in place on the donated pool, then reads — see
+            # `_paged_decode_step_pipelined` for why the separate commit
+            # dispatch costs a full pool copy on this platform
+            pw, ppi, pof = self._pending
+            nxt, writes, pi, of, self.pool = _paged_decode_step_pipelined(
+                self.params,
+                jnp.asarray(self.cur),
+                jnp.asarray(self.pos),
+                jnp.asarray(self.tables[:, :ap]),
+                self.pool,
+                pw, ppi, pof,
+                sub,
+                jnp.asarray(self.temps),
+                self.config,
+                self.quantized,
+                self.top_k,
+                self.top_p,
+                self.attn_chunk,
+            )
+            self._pending = (writes, pi, of)
         else:
             # two-dispatch decode: read-only forward+sample, then the
             # write-only in-place commit (see `commit_writes_jit`) — a fused
-            # program pays full pool copies (+32% step time at B=16)
+            # write-then-attend program pays full pool copies (+32% step
+            # time at B=16)
             nxt, writes, pi, of = _paged_decode_read_and_sample(
                 self.params,
                 jnp.asarray(self.cur),
@@ -1137,7 +1245,11 @@ class PagedEngine:
                 self.top_p,
                 self.attn_chunk,
             )
-            self.pool = commit_writes_jit(self.pool, writes, pi, of)
+            if self._pipelined:
+                # hold the writes for the next decode program (lag-1)
+                self._pending = (writes, pi, of)
+            else:
+                self.pool = commit_writes_jit(self.pool, writes, pi, of)
         nxt = np.asarray(nxt)  # B int32s — the only host transfer per step
         emitted = []
         for slot, req in enumerate(self.slot_req):

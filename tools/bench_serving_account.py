@@ -154,21 +154,24 @@ def run_phases(B, S, iters, chunk, quantized="int4"):
 
     results = {}
 
-    # full split step: read + commit, pool threaded
-    p = pool
+    # full split step: read + commit. The commit donates the pool, so the
+    # loop must hold exactly ONE live reference (the engine's pattern) — an
+    # extra reference defeats donation and XLA copies the multi-GB pool every
+    # step (measured: +76 ms/step the first time this harness got it wrong).
+    fpool = init_page_pool(CONFIG, B * AP + 1, page, quantized=quantized)
     nxt, w_, pi, of = read_step(toks, pos, None)
-    p = commit_writes_jit(p, w_, pi, of)
+    fpool = commit_writes_jit(fpool, w_, pi, of)
     sync(nxt)
     t0 = time.perf_counter()
     for i in range(iters):
         nxt, w_, pi, of = _paged_decode_read_and_sample(
-            params, nxt, pos + 1 + i, tables, p, key, temps, CONFIG,
+            params, nxt, pos + 1 + i, tables, fpool, key, temps, CONFIG,
             quantized, None, None, chunk, _ablate=None,
         )
-        p = commit_writes_jit(p, w_, pi, of)
-    sync(nxt)
+        fpool = commit_writes_jit(fpool, w_, pi, of)
+    sync(fpool)  # account the last commit inside the timed window
     results["full(read+commit)"] = (time.perf_counter() - t0) / iters
-    pool = p  # keep the (donated-through) pool leaves alive
+    del fpool, w_, pi, of
 
     for ablate in (None, "no_attn", "no_matmul", "skeleton"):
         nxt, w_, pi, of = read_step(toks, pos, ablate)
@@ -206,13 +209,53 @@ def run_phases(B, S, iters, chunk, quantized="int4"):
     print(f"aggregate: {agg:.1f} tok/s")
 
 
+def run_attn_sweep(B, S, iters, chunks, quantized="int4"):
+    """The gather+attention phase alone (`no_matmul` ablation) across
+    attn_chunk values — a clean signal the full-step sweeps blur with the
+    other phases."""
+    page = 16
+    AP = S // page
+    params = synth_int4_params(CONFIG, jax.random.PRNGKey(0))
+    pool = init_page_pool(CONFIG, B * AP + 1, page, quantized=quantized)
+    tables = jnp.asarray(1 + np.arange(B * AP, dtype=np.int32).reshape(B, AP))
+    pos = jnp.full((B,), S - iters - 2, jnp.int32)
+    toks = jnp.ones((B,), jnp.int32)
+    temps = jnp.zeros((B,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    L, nh, hd = CONFIG.n_layer, CONFIG.n_head, CONFIG.head_dim
+    per_tok = (2 * (nh // 2) * hd + 2 * nh * 4) if quantized == "int4" else (
+        2 * nh * hd + 2 * nh * 4 if quantized else 2 * nh * hd * 2)
+    poolbytes = L * B * AP * page * per_tok
+    for chunk in chunks:
+        try:
+            nxt, *_ = _paged_decode_read_and_sample(
+                params, toks, pos, tables, pool, key, temps, CONFIG,
+                quantized, None, None, chunk, _ablate="no_matmul")
+            sync(nxt)
+            t0 = time.perf_counter()
+            for i in range(iters):
+                nxt, *_ = _paged_decode_read_and_sample(
+                    params, nxt, pos + 1 + i, tables, pool, key, temps,
+                    CONFIG, quantized, None, None, chunk, _ablate="no_matmul")
+            sync(nxt)
+        except Exception as e:
+            print(f"chunk={chunk}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+        t = (time.perf_counter() - t0) / iters
+        print(f"chunk={str(chunk):4s}: {t*1e3:7.2f} ms "
+              f"({poolbytes/t/1e9:6.1f} GB/s of {poolbytes/1e9:.2f} GB pool)",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="phases", choices=("phases", "gemm"))
+    ap.add_argument("--mode", default="phases", choices=("phases", "gemm", "attn"))
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=4)
+    ap.add_argument("--chunks", default="none,2,3,4,6,8,12,24")
     ap.add_argument("--kv", default="int4")
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--ms", default="1,8,24")
@@ -220,6 +263,10 @@ def main():
     kv = {"int4": "int4", "int8": True, "fp": False}[args.kv]
     if args.mode == "gemm":
         run_gemm(args.layers, [int(m) for m in args.ms.split(",")], args.iters)
+    elif args.mode == "attn":
+        chunks = [None if c in ("none", "None") else int(c)
+                  for c in args.chunks.split(",")]
+        run_attn_sweep(args.batch, args.seq, args.iters, chunks, kv)
     else:
         run_phases(args.batch, args.seq, args.iters, args.chunk, kv)
 
