@@ -70,22 +70,25 @@ def weight_bytes_per_token(config: LLaMAConfig) -> float:
     return L * per_layer + (D * V) / 2 + V * D * 2  # + lm_head int4 + wte bf16 row gather (negligible)
 
 
-def synth_sub4_params(config: LLaMAConfig, key, bits: int):
+def synth_sub4_params(config: LLaMAConfig, key, bits: int, groupsize: int = -1):
     """Random packed int2/int3 params (pack formats of quant/linear.py:
     qweight (Kp//4, N) low-bit planes, int3 adds a (Kp//8, N) high-bit plane;
-    K pads per `sub4_pad_rows` so the kernel keeps a 128-aligned k-grid)."""
+    K pads per `sub4_pad_rows` so the kernel keeps a 128-aligned k-grid).
+    ``groupsize`` > 0 synthesizes the grouped scale/zero rows the quality-
+    measured configs (e.g. int2-g64) actually stream."""
     from lit_llama_ja_tpu.quant.linear import sub4_pad_rows
 
     L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
     ks = iter(jax.random.split(key, 16))
 
     def qlin(k, kin, nout):
-        Kp = sub4_pad_rows(kin)
+        Kp = sub4_pad_rows(kin, groupsize)
+        n_tiles = 1 if groupsize <= 0 else Kp // groupsize
         d = {
             "qweight": jax.random.randint(k, (Kp // 4, nout), 0, 255, jnp.int32
                                           ).astype(jnp.uint8),
-            "scales": jnp.full((1, nout), 0.01, jnp.float32),
-            "zeros": jnp.full((1, nout), float(2 ** (bits - 1)), jnp.float32),
+            "scales": jnp.full((n_tiles, nout), 0.01, jnp.float32),
+            "zeros": jnp.full((n_tiles, nout), float(2 ** (bits - 1)), jnp.float32),
         }
         if bits == 3:
             d["qweight_hi"] = jax.random.randint(
@@ -118,14 +121,40 @@ def synth_sub4_params(config: LLaMAConfig, key, bits: int):
     }
 
 
-def sub4_weight_bytes_per_token(config: LLaMAConfig, bits: int) -> float:
+def sub4_weight_bytes_per_token(config: LLaMAConfig, bits: int,
+                                groupsize: int = -1) -> float:
     from lit_llama_ja_tpu.quant.linear import sub4_pad_rows
 
     L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
-    Dp, Hp = sub4_pad_rows(D), sub4_pad_rows(H)
+    Dp, Hp = sub4_pad_rows(D, groupsize), sub4_pad_rows(H, groupsize)
     frac = bits / 8.0
     per_layer = (Dp * 3 * D + Dp * D + 2 * Dp * H + Hp * D) * frac
+    if groupsize > 0:  # grouped f32 scale+zero rows stream with the weights
+        per_layer += (Dp // groupsize) * (3 * D + D + 2 * H) * 8
+        per_layer += (Hp // groupsize) * D * 8
     return L * per_layer + Dp * V * frac + V * D * 2
+
+
+def synth_mixed_params(config: LLaMAConfig, key, attn_bits=4, mlp_bits=2,
+                       groupsize: int = 64):
+    """Mixed per-projection synth (gptq.mix-a4m2h4-g64 shape): attention +
+    lm_head at int4, MLP at grouped int2 — the recommended middle point."""
+    p4 = synth_int4_params(config, key)
+    p2 = synth_sub4_params(config, jax.random.fold_in(key, 1), mlp_bits, groupsize)
+    assert attn_bits == 4 and mlp_bits == 2
+    p4["blocks"]["mlp"] = p2["blocks"]["mlp"]
+    return p4
+
+
+def mixed_weight_bytes_per_token(config: LLaMAConfig, groupsize: int = 64) -> float:
+    from lit_llama_ja_tpu.quant.linear import sub4_pad_rows
+
+    L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
+    Dp, Hp = sub4_pad_rows(D, groupsize), sub4_pad_rows(H, groupsize)
+    attn = (D * 3 * D + D * D) / 2  # int4
+    mlp = (2 * Dp * H + Hp * D) / 4.0  # int2
+    mlp += ((Dp // groupsize) * 2 * H + (Hp // groupsize) * D) * 8  # f32 s+z
+    return L * (attn + mlp) + (D * V) / 2 + V * D * 2
 
 
 def synth_int8_params(config: LLaMAConfig, key):
@@ -202,13 +231,20 @@ def main():
     # format (for A/B runs); the no-arg default below stays the recorded
     # headline: BASELINE's metric is defined on gptq.int4.
     alt = sys.argv[1] if len(sys.argv) > 1 else None
-    if alt in ("int2", "int3"):
-        bits = int(alt[-1])
-        p = synth_sub4_params(config, jax.random.PRNGKey(0), bits)
+    if alt in ("int2", "int3", "int2-g64", "mixed"):
+        if alt == "mixed":
+            p = synth_mixed_params(config, jax.random.PRNGKey(0))
+            roof = HBM_GBPS * 1e9 / mixed_weight_bytes_per_token(config)
+            tag = "gptq.mix-a4m2h4-g64"
+        else:
+            bits = int(alt[3])
+            gs = 64 if alt.endswith("-g64") else -1
+            p = synth_sub4_params(config, jax.random.PRNGKey(0), bits, gs)
+            roof = HBM_GBPS * 1e9 / sub4_weight_bytes_per_token(config, bits, gs)
+            tag = f"gptq.{alt}"
         tps = measure_decode(p, config, batch, seq, decode_steps)
-        roof = HBM_GBPS * 1e9 / sub4_weight_bytes_per_token(config, bits)
         print(json.dumps({
-            "metric": f"llama-{model}-gptq.{alt}-decode-tokens/s/chip",
+            "metric": f"llama-{model}-{tag}-decode-tokens/s/chip",
             "value": round(tps, 2), "unit": "tokens/s",
             "vs_baseline": round(tps / roof, 4),
         }))

@@ -70,26 +70,33 @@ def load_model_any(checkpoint_path: Path, quantize: Optional[str] = None):
                     "weights)",
                     file=sys.stderr,
                 )
-            from lit_llama_ja_tpu.quant.linear import quantize_colblock
+            from lit_llama_ja_tpu.quant.linear import (
+                quantize_colblock,
+                resolve_bits,
+                resolve_groupsize,
+            )
 
             # RTN-quantize the five block linears + lm_head
             from lit_llama_ja_tpu.quant.pipeline import SUBMODULES, _get, _set, _to_mutable
 
-            tile_cols = groupsize
             params = _to_mutable(params)
             for name in SUBMODULES:
                 leaf = _get(params["blocks"], name)
                 w = leaf["weight"]
                 L = w.shape[0]
+                nb = resolve_bits(bits, name)
+                gs = resolve_groupsize(bits, name, groupsize)
                 qs = [
-                    quantize_colblock(w[l], bits=bits, tile_cols=tile_cols)
+                    quantize_colblock(w[l], bits=nb, tile_cols=gs)
                     for l in range(L)
                 ]
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
                 _set(params["blocks"], name, dict(stacked))
             params["lm_head"] = dict(
                 quantize_colblock(
-                    params["lm_head"]["weight"], bits=bits, tile_cols=tile_cols
+                    params["lm_head"]["weight"],
+                    bits=resolve_bits(bits, "lm_head"),
+                    tile_cols=resolve_groupsize(bits, "lm_head", groupsize),
                 )
             )
     return params, config

@@ -43,7 +43,10 @@ def main(
         n_samples: calibration sequences of block_size tokens (default 128).
         quantize: "gptq.int{2,3,4,8}[-g<N>]" (round 5 extends the reference's
             bits in (4, 8), `lit_llama/quantization.py:338-345`, down to the
-            sub-4-bit pack formats; a "-g<N>" suffix sets groupsize inline).
+            sub-4-bit pack formats; a "-g<N>" suffix sets groupsize inline) or
+            the mixed per-projection grammar "gptq.mix[-a<B>m<B>h<B>][-g<N>]"
+            (attention / MLP / lm_head bit widths; bare "gptq.mix" =
+            a4m2h4-g64).
         groupsize: column group size (-1 = per-channel whole-row).
         calib_text_path: local text file instead of downloading C4.
     """
@@ -60,7 +63,9 @@ def main(
         groupsize = mode_gs
 
     if output_path is None:
-        suffix = f"llama-gptq.{bits}bit" + (
+        from lit_llama_ja_tpu.quant.linear import mixed_mode_tag
+
+        suffix = f"llama-gptq.{mixed_mode_tag(bits)}" + (
             f"-g{groupsize}" if groupsize != -1 else ""
         )
         output_path = str(Path(checkpoint_path).parent / suffix)

@@ -79,15 +79,23 @@ def lit_state_dict_to_native(
         elif quantize == "llm.int8-rtn":
             _qfn = quantize_int8_absmax
         else:
-            from lit_llama_ja_tpu.quant.linear import parse_quant_mode
-
-            _, bits, groupsize = parse_quant_mode(quantize)
-            _qfn = lambda w: quantize_colblock(
-                w, bits=bits, tile_cols=groupsize
+            from lit_llama_ja_tpu.quant.linear import (
+                parse_quant_mode,
+                resolve_bits,
+                resolve_groupsize,
             )
 
-        def qlin(w2d: np.ndarray):
-            return jax.tree.map(np.asarray, _qfn(np.asarray(w2d)))
+            _, bits, groupsize = parse_quant_mode(quantize)
+            _qfn = lambda w, name: quantize_colblock(
+                w,
+                bits=resolve_bits(bits, name),
+                tile_cols=resolve_groupsize(bits, name, groupsize),
+            )
+
+        def qlin(w2d: np.ndarray, name: str = "lm_head"):
+            if quantize.startswith("llm.int8"):
+                return jax.tree.map(np.asarray, _qfn(np.asarray(w2d)))
+            return jax.tree.map(np.asarray, _qfn(np.asarray(w2d), name))
 
     def pad_vocab(w: np.ndarray) -> np.ndarray:
         # zero-pad rows up to padded_vocab_size (HF checkpoints ship unpadded)
@@ -104,7 +112,8 @@ def lit_state_dict_to_native(
     def stack_w(key):  # transposed linear weights (quantized per-layer if asked)
         if qlin is None:
             return {"weight": np.stack([layer(i, key).T for i in range(L)])}
-        per_layer = [qlin(layer(i, key).T) for i in range(L)]
+        name = key.removesuffix(".weight")  # "attn.c_attn" etc.
+        per_layer = [qlin(layer(i, key).T, name) for i in range(L)]
         return {
             k: np.stack([q[k] for q in per_layer]) for k in per_layer[0]
         }

@@ -24,11 +24,14 @@ kernel in `ops/pallas/quant_matmul.py` is dispatched on TPU for the hot decode p
 """
 from __future__ import annotations
 
+import re
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_MIX_RE = re.compile(r"^(gptq|rtn)\.mix-a([2348])m([2348])h([2348])$")
 
 
 def parse_quant_mode(mode: str):
@@ -43,6 +46,20 @@ def parse_quant_mode(mode: str):
       * ``llm.int8-rtn``     -> ("llm.int8-rtn", 8, -1)
       * ``llm.int8-dyn``     -> ("llm.int8-dyn", 8, -1) (per-forward bnb
         threshold-6.0 activation decomposition)
+
+    Mixed per-projection-type bit widths (round 5 — the middle points between
+    the int4 headline and the +25%-throughput int2 pack):
+
+      * ``gptq.mix-a4m2h4-g64`` -> ("gptq", {"attn": 4, "mlp": 2, "head": 4}, 64)
+      * ``gptq.mix``            -> alias for ``gptq.mix-a4m2h4-g64`` (the
+        measured-recommended split: the MLP holds ~2/3 of 7B weight bytes)
+
+    ``a``/``m``/``h`` set the attention projections (c_attn + attn c_proj),
+    the MLP projections (c_fc1/c_fc2/mlp c_proj), and lm_head. The model is a
+    stacked-layer `lax.scan`, so bits can vary by projection *type* but not by
+    layer index (per-layer bits would destack the scan). In mixed mode the
+    groupsize applies to the sub-4-bit projections only; >=4-bit projections
+    keep whole-row scales (-1) and GPTQ actorder.
     """
     if mode in ("llm.int8", "llm.int8-rtn", "llm.int8-dyn"):
         return mode, 8, -1
@@ -51,6 +68,18 @@ def parse_quant_mode(mode: str):
     if "-g" in mode:
         body, g = mode.rsplit("-g", 1)
         groupsize = int(g)
+    if body.endswith(".mix"):
+        body += "-a4m2h4"
+        if groupsize == -1:
+            groupsize = 64
+    m = _MIX_RE.match(body)
+    if m:
+        scheme = m.group(1)
+        bits = {"attn": int(m.group(2)), "mlp": int(m.group(3)),
+                "head": int(m.group(4))}
+        if all(b == next(iter(bits.values())) for b in bits.values()):
+            bits = next(iter(bits.values()))  # degenerate mix == uniform
+        return scheme, bits, groupsize
     try:
         scheme, ib = body.split(".")
         bits = int(ib.removeprefix("int"))
@@ -58,9 +87,35 @@ def parse_quant_mode(mode: str):
     except (ValueError, AssertionError):
         raise ValueError(
             f"unknown quantization mode {mode!r} (expected "
-            "{gptq|rtn}.int{2,3,4,8}[-g<N>], llm.int8, or llm.int8-rtn)"
+            "{gptq|rtn}.int{2,3,4,8}[-g<N>], {gptq|rtn}.mix[-a<B>m<B>h<B>][-g<N>], "
+            "llm.int8, llm.int8-rtn, or llm.int8-dyn)"
         ) from None
     return scheme, bits, groupsize
+
+
+def resolve_bits(bits, name: str) -> int:
+    """Per-projection bit width: ``bits`` is an int (uniform) or the mixed-mode
+    dict keyed by projection type. ``name`` is a pipeline submodule name
+    ("attn.c_attn", "mlp.c_fc1", ...) or "lm_head"."""
+    if isinstance(bits, int):
+        return bits
+    key = "head" if name == "lm_head" else name.split(".", 1)[0]
+    return bits[key]
+
+
+def resolve_groupsize(bits, name: str, groupsize: int) -> int:
+    """Mixed mode: groupsize applies to the sub-4-bit projections only (the
+    >=4-bit ones keep whole-row scales and actorder)."""
+    if isinstance(bits, int):
+        return groupsize
+    return groupsize if resolve_bits(bits, name) < 4 else -1
+
+
+def mixed_mode_tag(bits) -> str:
+    """Filesystem tag for a bits spec: 4 -> "4bit", mix dict -> "mix-a4m2h4"."""
+    if isinstance(bits, int):
+        return f"{bits}bit"
+    return f"mix-a{bits['attn']}m{bits['mlp']}h{bits['head']}"
 
 
 def _is_sub4_rows(rows: int, in_features: int) -> bool:

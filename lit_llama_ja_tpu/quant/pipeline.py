@@ -79,7 +79,7 @@ def gptq_quantize_model(
     config: LLaMAConfig,
     calib_tokens,  # (n_samples, T) int32
     *,
-    bits: int = 4,
+    bits=4,  # int, or mixed-mode {"attn","mlp","head"} dict
     groupsize: int = -1,
     blocksize: int = 128,
     percdamp: float = 0.01,
@@ -91,9 +91,15 @@ def gptq_quantize_model(
     """Quantize every Linear of the model with GPTQ; returns a new param tree where
     each ``{"weight"}`` linear leaf-dict becomes ``{"qweight","scales","zeros"}``.
 
-    actorder is enabled iff groupsize == -1, matching `quantize/gptq.py:86`.
+    actorder is enabled iff the (per-projection) groupsize == -1, matching
+    `quantize/gptq.py:86`.
+
+    ``bits`` is an int (uniform) or a mixed-mode dict ``{"attn","mlp","head"}``
+    mapping projection type -> bit width (`quant/linear.py::parse_quant_mode`);
+    in mixed mode ``groupsize`` applies only to the sub-4-bit projections.
     """
-    actorder = groupsize == -1
+    from lit_llama_ja_tpu.quant.linear import resolve_bits, resolve_groupsize
+
     n_samples, T = calib_tokens.shape
     rope = build_rope_cache(config.block_size, config.head_dim, config.rope_base)[:T]
 
@@ -102,14 +108,17 @@ def gptq_quantize_model(
 
     L = config.n_layer
     quantized_layers = []
-    solve = partial(
-        gptq_quantize_linear,
-        bits=bits,
-        blocksize=blocksize,
-        percdamp=percdamp,
-        groupsize=groupsize,
-        actorder=actorder,
-    )
+
+    def solve(w, H, *, name: str):
+        gs = resolve_groupsize(bits, name, groupsize)
+        return gptq_quantize_linear(
+            w, H,
+            bits=resolve_bits(bits, name),
+            blocksize=blocksize,
+            percdamp=percdamp,
+            groupsize=gs,
+            actorder=gs == -1,
+        )
 
     for l in range(L):
         # unstack layer l from the stacked tree into a mutable per-layer dict
@@ -124,7 +133,7 @@ def gptq_quantize_model(
                 xs = inps[s : s + micro_batch]
                 acts = capture_linear_input(block, xs, rope, config, name)
                 H, n = hessian_update(H, n, acts.reshape(-1, acts.shape[-1]))
-            qparams, err = solve(w.astype(jnp.float32), H)
+            qparams, err = solve(w.astype(jnp.float32), H, name=name)
             _set(block, name, dict(qparams))
             if progress:
                 print(f"layer {l} {name}: gptq error {float(err):.3f}")
@@ -148,7 +157,7 @@ def gptq_quantize_model(
         H, n = init_hessian(w.shape[0])
         for s in range(0, n_samples, micro_batch):
             H, n = hessian_update(H, n, h[s : s + micro_batch].reshape(-1, h.shape[-1]))
-        qparams, err = solve(w.astype(jnp.float32), H)
+        qparams, err = solve(w.astype(jnp.float32), H, name="lm_head")
         if progress:
             print(f"lm_head: gptq error {float(err):.3f}")
         new_params["lm_head"] = dict(qparams)
