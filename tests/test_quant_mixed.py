@@ -152,3 +152,23 @@ def test_rtn_mixed_streaming_convert(rng):
     idx = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 4)), jnp.int32)
     out = forward(jax.tree.map(jnp.asarray, params), idx, cfg)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_paged_engine_serves_mixed_tree(rng):
+    """The paged serving engine consumes a mixed-bits tree unchanged (leaf
+    dispatch is shape-inferred inside the engine's jitted programs) and
+    matches single-stream `generate` on the same tree."""
+    from lit_llama_ja_tpu.infer.generate import generate
+    from lit_llama_ja_tpu.infer.paged import PagedEngine
+
+    params = init_params(jax.random.PRNGKey(7), CFG)
+    calib = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(2, 16)), jnp.int32)
+    qparams = gptq_quantize_model(
+        params, CFG, calib, bits={"attn": 4, "mlp": 2, "head": 4},
+        groupsize=8, micro_batch=2, progress=False,
+    )
+    prompt = rng.integers(0, CFG.vocab_size, size=(6,)).astype(np.int32)
+    want = generate(qparams, CFG, jnp.asarray(prompt), 8, temperature=0.0)
+    eng = PagedEngine(qparams, CFG, max_batch=2, n_pages=32, page_size=4)
+    out = eng.run([(prompt, 8)])
+    np.testing.assert_array_equal(out[0], np.asarray(want))

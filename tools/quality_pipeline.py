@@ -172,10 +172,17 @@ def step_pretrain(model_size: str, iters: int, micro_bs: int, lr: float,
 
 
 GPTQ_MODES = ("gptq.int4", "gptq.int8", "gptq.int3", "gptq.int2",
-              "gptq.int2-g64")  # round 5: sub-4-bit grid (VERDICT #1/#3)
+              "gptq.int2-g64",  # round 5: sub-4-bit grid (VERDICT #1/#3)
+              "gptq.mix")       # mixed a4m2h4-g64 (attn int4 / mlp int2)
 
 
 def _gptq_dest(model_size: str, mode: str):
+    if ".mix" in mode:
+        from lit_llama_ja_tpu.quant.linear import mixed_mode_tag, parse_quant_mode
+
+        _, bits, gs = parse_quant_mode(mode)
+        tag = mixed_mode_tag(bits) + (f"-g{gs}" if gs != -1 else "")
+        return OUT / model_size / f"llama-gptq.{tag}"
     tag = mode.removeprefix("gptq.int").replace("-g", "bit-g")
     if "-g" not in mode:
         tag += "bit"
@@ -214,6 +221,8 @@ def step_evaluate(model_size: str, iters: int, kv_cache=None):
         (OUT / model_size / "llama-gptq.2bit", None, "gptq.int2"),
         (OUT / model_size / "llama-gptq.2bit-g64", None, "gptq.int2-g64"),
         (ckpt, "rtn.int2-g64", "rtn.int2-g64"),
+        (OUT / model_size / "llama-gptq.mix-a4m2h4-g64", None,
+         "gptq.mix-a4m2h4-g64 (attn int4 / mlp int2)"),
     ]
     rows = [r for r in rows if r[1] is not None or Path(r[0]).exists()]
     for path, quant, label in rows:
