@@ -102,6 +102,42 @@ def _qmm_sub4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if unpack == "bf16_groupdeq":
+        # Grouped-scale fast path (round 5): the per-group loop below issues
+        # groups_per_tile tiny-K MXU dots per plane (K = groupsize/4 rows —
+        # measured 55 tok/s at 7B g64 vs 97 groupless). Here the scale/zero
+        # rows are expanded along the packed-row axis instead, the planes are
+        # dequantized elementwise in registers, and each plane gets ONE
+        # full-tile bf16 dot: w_j = (q_j − z)·s = p_j·(c_j·s) [+ 2s for the
+        # bias-2 top field] − z·s, with p_j the stored plane units.
+        assert bits == 2, "groupdeq path is int2-only (int3 not recommended)"
+        planes2 = _planes_int2(w2_ref[:], bc=True)
+        bk2 = planes2[0].shape[0]
+        sub2 = bk2 // groups_per_tile
+        gsl = pl.ds(k * groups_per_tile, groups_per_tile)
+        s_t = s_ref[gsl, :]
+        zs_t = z_ref[gsl, :] * s_t
+        s_exp = jnp.repeat(s_t, sub2, axis=0)  # (bk2, bn) f32
+        zs_exp = jnp.repeat(zs_t, sub2, axis=0)
+        part = jnp.zeros_like(acc_ref)
+        for j in range(4):
+            pf = planes2[j].astype(jnp.int32).astype(jnp.float32)
+            wd = pf * (s_exp * _C2[j]) - zs_exp
+            if j == 3:
+                wd = wd + 2.0 * s_exp  # stored top field is (q3 − 2)
+            part = part + jnp.dot(
+                x_refs[j][:].astype(jnp.bfloat16),
+                wd.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[:] = acc_ref[:] + part
+
+        @pl.when(k == n_k - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+        return
+
     bc = unpack == "int8dot_bc"
     if unpack == "int8dot_fused":
         # Single-dot-per-array variant: every plane in units of 4 centered at
@@ -432,11 +468,17 @@ def quant_matmul_int2(
     M = x2.shape[0]
     if vmem_limit_mb is None:
         vmem_limit_mb = 64 if M <= 64 else None
+    bn, bk4, gpt = _common_tiling(M, N, n_groups, Kq4, block_n, block_k, 256)
     if unpack is None:
         # round-5 sweep (PERF.md): 6.52 ms/7B-GEMV-pass at bk4=256+bitcast vs
-        # 6.86 for int8dot/bk4=512 (int4 kernel: 8.85 — int2 wins 26%)
-        unpack = "int8dot_bc" if M <= 64 else "bf16"
-    bn, bk4, gpt = _common_tiling(M, N, n_groups, Kq4, block_n, block_k, 256)
+        # 6.86 for int8dot/bk4=512 (int4 kernel: 8.85 — int2 wins 26%).
+        # Grouped packs (gpt > 1, e.g. g64) take the full-tile dequant path:
+        # the per-group loop's tiny-K dots measured 55 tok/s at 7B vs 97
+        # groupless; groupdeq restores full-width MXU dots under groups.
+        if gpt > 1:
+            unpack = "bf16_groupdeq"
+        else:
+            unpack = "int8dot_bc" if M <= 64 else "bf16"
     n_k = Kq4 // bk4
     bm = min(block_m, _round_up(M, 8))
 

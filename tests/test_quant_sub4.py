@@ -192,3 +192,22 @@ def test_pack_prequantized_sub4(rng):
         assert infer_bits_params(params, 64) == bits
         deq = np.asarray(dequantize_with_k(params, 64))
         np.testing.assert_array_equal(deq, np.asarray(q, np.float32))
+
+
+@pytest.mark.parametrize("groups", [1, 4, 8])
+def test_kernel_groupdeq_matches_dequant(rng, groups):
+    """Round-5 grouped fast path: full-tile bf16 dequant + one dot per plane
+    (the default for grouped int2 packs) vs the XLA dequant matmul, across
+    tiles that span whole groups and tiles that subdivide one."""
+    K, N, M = 256, 32, 4
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    params = quantize_colblock(jnp.asarray(w), 2, tile_cols=K // groups)
+    x = rng.normal(size=(M, K)).astype(np.float32) * 0.3
+    want = np.asarray(x @ np.asarray(dequantize_with_k(params, K)))
+    for block_k in (16, 32):
+        got = quant_matmul_int2(
+            jnp.asarray(x), params["qweight"], params["scales"],
+            params["zeros"], interpret=True, unpack="bf16_groupdeq",
+            out_dtype=jnp.float32, block_k=block_k,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
