@@ -114,7 +114,14 @@ def _qmm_sub4_kernel(
         planes2 = _planes_int2(w2_ref[:], bc=True)
         bk2 = planes2[0].shape[0]
         sub2 = bk2 // groups_per_tile
-        gsl = pl.ds(k * groups_per_tile, groups_per_tile)
+        # multi-row sublane slices must be provably 8-aligned for Mosaic; a
+        # single k-tile can slice statically (any gpt, e.g. the 125M's 13),
+        # multi-tile grids require gpt % 8 == 0 (the wrapper gates on this)
+        gsl = (
+            slice(0, groups_per_tile)
+            if n_k == 1
+            else pl.ds(k * groups_per_tile, groups_per_tile)
+        )
         s_t = s_ref[gsl, :]
         zs_t = z_ref[gsl, :] * s_t
         s_exp = jnp.repeat(s_t, sub2, axis=0)  # (bk2, bn) f32
@@ -475,7 +482,7 @@ def quant_matmul_int2(
         # Grouped packs (gpt > 1, e.g. g64) take the full-tile dequant path:
         # the per-group loop's tiny-K dots measured 55 tok/s at 7B vs 97
         # groupless; groupdeq restores full-width MXU dots under groups.
-        if gpt > 1:
+        if gpt > 1 and (Kq4 // bk4 == 1 or gpt % 8 == 0):
             unpack = "bf16_groupdeq"
         else:
             unpack = "int8dot_bc" if M <= 64 else "bf16"
