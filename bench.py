@@ -136,9 +136,10 @@ def sub4_weight_bytes_per_token(config: LLaMAConfig, bits: int,
 
 
 def synth_mixed_params(config: LLaMAConfig, key, attn_bits=4, mlp_bits=2,
-                       groupsize: int = 64):
-    """Mixed per-projection synth (gptq.mix-a4m2h4-g64 shape): attention +
-    lm_head at int4, MLP at grouped int2 — the recommended middle point."""
+                       groupsize: int = -1):
+    """Mixed per-projection synth (gptq.mix-a4m2h4[-g64] shape): attention +
+    lm_head at int4, MLP at int2 (whole-row scales by default — grouped f32
+    scale streams measurably drag decode, PERF.md round 5)."""
     p4 = synth_int4_params(config, key)
     p2 = synth_sub4_params(config, jax.random.fold_in(key, 1), mlp_bits, groupsize)
     assert attn_bits == 4 and mlp_bits == 2
@@ -146,14 +147,15 @@ def synth_mixed_params(config: LLaMAConfig, key, attn_bits=4, mlp_bits=2,
     return p4
 
 
-def mixed_weight_bytes_per_token(config: LLaMAConfig, groupsize: int = 64) -> float:
+def mixed_weight_bytes_per_token(config: LLaMAConfig, groupsize: int = -1) -> float:
     from lit_llama_ja_tpu.quant.linear import sub4_pad_rows
 
     L, D, H, V = config.n_layer, config.n_embd, config.n_hidden, config.padded_vocab_size
     Dp, Hp = sub4_pad_rows(D, groupsize), sub4_pad_rows(H, groupsize)
     attn = (D * 3 * D + D * D) / 2  # int4
     mlp = (2 * Dp * H + Hp * D) / 4.0  # int2
-    mlp += ((Dp // groupsize) * 2 * H + (Hp // groupsize) * D) * 8  # f32 s+z
+    if groupsize > 0:
+        mlp += ((Dp // groupsize) * 2 * H + (Hp // groupsize) * D) * 8  # f32 s+z
     return L * (attn + mlp) + (D * V) / 2 + V * D * 2
 
 
@@ -231,11 +233,12 @@ def main():
     # format (for A/B runs); the no-arg default below stays the recorded
     # headline: BASELINE's metric is defined on gptq.int4.
     alt = sys.argv[1] if len(sys.argv) > 1 else None
-    if alt in ("int2", "int3", "int2-g64", "mixed"):
-        if alt == "mixed":
-            p = synth_mixed_params(config, jax.random.PRNGKey(0))
-            roof = HBM_GBPS * 1e9 / mixed_weight_bytes_per_token(config)
-            tag = "gptq.mix-a4m2h4-g64"
+    if alt in ("int2", "int3", "int2-g64", "mixed", "mixed-g64"):
+        if alt.startswith("mixed"):
+            gs = 64 if alt == "mixed-g64" else -1
+            p = synth_mixed_params(config, jax.random.PRNGKey(0), groupsize=gs)
+            roof = HBM_GBPS * 1e9 / mixed_weight_bytes_per_token(config, gs)
+            tag = "gptq.mix-a4m2h4" + ("-g64" if gs == 64 else "")
         else:
             bits = int(alt[3])
             gs = 64 if alt.endswith("-g64") else -1
